@@ -1,0 +1,162 @@
+"""End-to-end KG-construction pipeline (SURVEY §3 entry-point B shape).
+
+docs(url, warc_ts, html, text, lang)
+  → zh filter → annotate (2 scorers, one pass) → parse → taxonomy barrier →
+    remap → consensus (+verify) → expansion (NER + pair classify) → merge →
+    triples → entity linking → graph nodes/edges.
+
+Everything up to entity linking is narrow (zero shuffles — one scan, chained
+mapInPandas/UDF projections); the only wide operations in the whole plan are
+the tiny taxonomy distinct, the linking self-join, and the final graph
+groupBys. That is what makes the plan scale linearly with corpus size.
+
+With a ``StageCatalog`` the annotated/consensus/expanded stage tables are
+checkpointed with lineage manifests + counters and a re-run resumes from the
+last complete stage (the reference's per-stage CSV rewrite, done right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.annotate import annotate
+from ..operators.consensus import consensus_stage
+from ..operators.expansion import expansion_stage
+from ..operators.graph import build_edges, build_nodes
+from ..operators.linking import link_entities
+from ..operators.parse import parse_stage
+from ..operators.taxonomy import build_taxonomy, remap_relations
+from ..sources.catalog import StageCatalog
+
+
+def _expanded_frame(docs: DataFrame, scorer: str) -> DataFrame:
+    zh = docs.filter(F.col("lang") == "zh").select("url", "text")
+    annotated = annotate(zh, scorer=scorer)
+    parsed = parse_stage(annotated)
+    taxonomy = build_taxonomy(parsed, scorer=scorer)  # global barrier (tiny)
+    remapped = remap_relations(parsed, taxonomy)
+    cons = consensus_stage(remapped, scorer=scorer)
+    cons_docs = cons.filter(F.size("consensus_label") > 0)
+    return expansion_stage(cons_docs, scorer=scorer)
+
+
+def triples_from_expanded(expanded: DataFrame) -> DataFrame:
+    """merge_label arrays → exploded (url, subj, obj, rel) triple table."""
+    return (
+        expanded.filter(F.size("merge_label") > 0)
+        .select("url", F.explode("merge_label").alias("t"))
+        .select("url", "t.subj", "t.obj", "t.rel")
+        .distinct()
+    )
+
+
+def extract_triples(docs: DataFrame, scorer: str = "deterministic") -> DataFrame:
+    """Flagship query: all person-relation triples in the corpus."""
+    return triples_from_expanded(_expanded_frame(docs, scorer))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: StageCatalog | None = None,
+    scorer: str = "deterministic",
+    resume: bool = True,
+    with_metrics: bool = True,
+) -> dict:
+    """Full run incl. linking + graph; returns stage DataFrames + metrics.
+
+    With ``catalog``: each listed stage is materialized once (parquet
+    bucketed by url-hash + manifest with lineage/counters); a re-run with
+    ``resume=True`` reads completed stages instead of recomputing.
+    """
+    metrics: dict = {}
+
+    def checkpoint(name: str, df_fn, inputs: list[str], metric_fn=None) -> DataFrame:
+        if catalog is None:
+            return df_fn()
+        if resume and catalog.has_stage(name):
+            return catalog.read_stage(spark, name)
+        df = df_fn()
+        stage_metrics = metric_fn(df) if (with_metrics and metric_fn) else {}
+        metrics[name] = stage_metrics
+        catalog.write_stage(df, name, inputs=inputs, metrics=stage_metrics)
+        return catalog.read_stage(spark, name)
+
+    zh = docs.filter(F.col("lang") == "zh").select("url", "text")
+
+    def detect_metrics(df: DataFrame) -> dict:
+        rows = (
+            df.groupBy("gemini_has_relation", "gpt_has_relation").count().collect()
+        )
+        out: dict = {"n_docs": 0}
+        for r in rows:
+            out["n_docs"] += r["count"]
+            out[f"gemini={r['gemini_has_relation']},gpt={r['gpt_has_relation']}"] = r["count"]
+        return out
+
+    annotated = checkpoint(
+        "annotated", lambda: annotate(zh, scorer=scorer), ["web_pages"], detect_metrics
+    )
+
+    parsed = parse_stage(annotated)
+    taxonomy = build_taxonomy(parsed, scorer=scorer)
+    metrics["taxonomy"] = {"n_distinct_relations": len(taxonomy)}
+    remapped = remap_relations(parsed, taxonomy)
+
+    def consensus_metrics(df: DataFrame) -> dict:
+        row = df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("consensus_label")).alias("n_consensus_triples"),
+            F.sum(F.col("gemini_verify_error").cast("int")).alias("gemini_verify_errors"),
+            F.sum(F.col("gpt_verify_error").cast("int")).alias("gpt_verify_errors"),
+            F.sum(F.col("gemini_parse_error").cast("int")).alias("gemini_parse_errors"),
+            F.sum(F.col("gpt_parse_error").cast("int")).alias("gpt_parse_errors"),
+        ).collect()[0]
+        return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+
+    cons = checkpoint(
+        "consensus",
+        lambda: consensus_stage(remapped, scorer=scorer),
+        ["annotated"],
+        consensus_metrics,
+    )
+    cons_docs = cons.filter(F.size("consensus_label") > 0)
+
+    def expansion_metrics(df: DataFrame) -> dict:
+        rows = df.groupBy("density").count().collect()
+        out = {f"density_{r['density']}": r["count"] for r in rows}
+        agg = df.agg(
+            F.sum(F.size("expansion_ternary")).alias("n_expansion_triples"),
+            F.sum(F.col("expansion_failed").cast("int")).alias("expansion_failures"),
+            F.sum(F.size("merge_label")).alias("n_merged_triples"),
+        ).collect()[0]
+        out.update({k: int(v or 0) for k, v in agg.asDict().items()})
+        return out
+
+    expanded = checkpoint(
+        "expanded",
+        lambda: expansion_stage(cons_docs, scorer=scorer),
+        ["consensus"],
+        expansion_metrics,
+    )
+
+    triples = triples_from_expanded(expanded)
+    linked = link_entities(expanded)
+    nodes = build_nodes(linked)
+    edges = build_edges(triples, linked, nodes)
+    if catalog is not None:
+        catalog.write_stage(triples, "triples", inputs=["expanded"])
+        catalog.write_stage(nodes, "nodes", inputs=["expanded"], bucket_col="person_id")
+        catalog.write_stage(edges, "edges", inputs=["expanded"], bucket_col="subj_id")
+
+    return {
+        "annotated": annotated,
+        "consensus": cons,
+        "expanded": expanded,
+        "triples": triples,
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "metrics": metrics,
+    }

@@ -1,0 +1,141 @@
+"""Plain-Python (pandas-free) faithful re-execution of the reference's stage
+logic — the parity oracle of SURVEY §5.2.
+
+This is NOT the Spark pipeline: it replays the reference's per-row control
+flow (stage order, sentinel handling, set-based comparison, trad-keyed dedup)
+doc by doc with the same deterministic scorers, producing the triple set the
+reference *would* emit on the synthetic corpus. The parity gate asserts the
+Spark pipeline reproduces it with P/R ≥ 0.95 (BASELINE.json metric).
+
+Stage order mirrors entry point B (SURVEY §3.2):
+extractor → relation_classifier → update_relation → cross_comparison →
+union_label → ckip expansion (find_re → merge_label → truncation_label).
+"""
+
+from __future__ import annotations
+
+from ..functions.analysis import expansion_pairs
+from ..functions.chinese import s2t
+from ..functions.parse import (
+    HAS_RELATION,
+    parse_five_class_answers,
+    parse_triples,
+    parse_verdicts,
+)
+from ..scorers import get_scorer
+
+
+def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict[str, list]:
+    """docs: [{url, text, lang}] → {"merge": [(url,subj,obj,rel)...],
+    "merge_1024": [...], "consensus": [...]} — the reference's emitted sets."""
+    mod = get_scorer(scorer)
+    merge_rows, merge_1024_rows, consensus_rows = [], [], []
+
+    for doc in docs:
+        if doc["lang"] != "zh":
+            continue
+        url, text = doc["url"], doc["text"]
+
+        # --- detection + extraction (M1/M2 + F1) ---
+        ternary = {}
+        for ann in ("gemini", "gpt"):
+            status, output = mod.score_detect(text, ann)
+            if status != HAS_RELATION:
+                ternary[ann] = None  # reference leaves NaN
+                continue
+            triples, _rels, _ents, err = parse_triples(output, tolerant=True)
+            ternary[ann] = None if err else triples  # sentinel → skipped later
+
+        # --- taxonomy remap (M6 + J2), per-doc application of global map ---
+        def remap(triples):
+            if triples is None:
+                return None
+            seen, out = set(), []
+            for s, o, r in triples:
+                cls = mod.score_taxonomy([r])[r]
+                if (s, o, cls) not in seen:
+                    seen.add((s, o, cls))
+                    out.append((s, o, cls))
+            return out
+
+        ternary = {ann: remap(t) for ann, t in ternary.items()}
+
+        # --- cross-comparison on trad triples (train/postprecess.py:151-188) ---
+        def to_trad(triples):
+            if triples is None:
+                return None
+            out = []
+            for s, o, r in triples:
+                ts, to_ = s2t(s), s2t(o)
+                lo, hi = sorted([ts, to_])
+                out.append((lo, hi, s2t(r)))
+            return out
+
+        trad = {ann: to_trad(t) for ann, t in ternary.items()}
+        checked: dict[str, list] = {}
+        for ann, other in (("gemini", "gpt"), ("gpt", "gemini")):
+            mine, theirs = trad[ann], trad[other] or []
+            if mine is None:
+                checked[ann] = []
+                continue
+            correct = [t for t in mine if t in theirs]
+            wrong = [t for t in mine if t not in theirs]
+            passed = []
+            if wrong:
+                answer = mod.score_verify(text, wrong)
+                verdicts = parse_verdicts(answer, len(wrong))
+                if verdicts is not None:  # else 驗證過程有誤 → none pass
+                    passed = [w for w, ok in zip(wrong, verdicts) if ok]
+            checked[ann] = correct + passed
+
+        # --- union_label (train/postprecess.py:26-81) ---
+        consensus, seen_keys = [], set()
+        for s, o, r in checked["gemini"] + checked["gpt"]:
+            lo, hi = sorted([s, o])
+            key = (lo, hi, r)
+            if key not in seen_keys and lo != hi:
+                seen_keys.add(key)
+                consensus.append(key)
+        if not consensus:
+            continue
+        consensus_rows.extend((url, s, o, r) for s, o, r in consensus)
+
+        # --- expansion (ckip_expansion.py: find_re + merge + truncation) ---
+        trad_text = s2t(text)
+        entities = mod.score_ner(trad_text)
+        already = {
+            (s, o) for t in (trad["gemini"] or []) + (trad["gpt"] or []) for s, o in [(t[0], t[1])]
+        }
+        density, extra = expansion_pairs(entities, already, trad_text)
+        expansion = []
+        if density == "middle" and extra:
+            answer = mod.score_expansion_pairs(trad_text, extra)
+            classes = parse_five_class_answers(answer, len(extra))
+            if classes is not None:
+                expansion = [
+                    (a, b, cls) for (a, b), cls in zip(extra, classes) if cls != "沒有"
+                ]
+        if density == "high":
+            continue  # dropped from golden merge (merge_label :165-166)
+
+        merged, pair_seen = [], set()
+        for s, o, r in consensus:
+            if s in trad_text and o in trad_text:  # hallucination filter
+                merged.append((s, o, r))
+                pair_seen.add((s, o))
+        for s, o, r in expansion:
+            if (s, o) not in pair_seen:
+                merged.append((s, o, r))
+                pair_seen.add((s, o))
+
+        head = trad_text[:1024]
+        for s, o, r in merged:
+            merge_rows.append((url, s, o, r))
+            if s in head and o in head:
+                merge_1024_rows.append((url, s, o, r))
+
+    return {
+        "merge": merge_rows,
+        "merge_1024": merge_1024_rows,
+        "consensus": consensus_rows,
+    }

@@ -1,0 +1,130 @@
+"""Deterministic rule-backed scorers (LLM replacements, SURVEY §2.7).
+
+Each scorer consumes/produces the SAME textual answer schema as the
+reference's prompts, so the downstream parse kernel (functions/parse.py) is
+exercised exactly as it would be against real model output — including
+deterministic "noise" paths (status failures, quoted tuples, false positives,
+count mismatches) keyed on md5 of the document text so that the Spark
+pipeline and the plain-Python parity oracle see identical scorer behavior.
+
+Prompt schemas mirrored:
+- detection     reference ``CommonCrawl/multi_thread_gemini_api.py:113-117``
+- verification  reference ``CommonCrawl/data/train/postprecess.py:198-210``
+- pair batch    reference ``sota_ner/ckip_expansion.py:13-21,100-108``
+- NER           reference ``sota_ner/gemini_expansion.py:23-26``
+- taxonomy      reference ``CommonCrawl/data/train/postprecess.py:292-300``
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..functions.chinese import s2t
+from ..functions.parse import (
+    HAS_RELATION,
+    NO_RELATION,
+    STATUS_RETRY,
+    STATUS_UNRECOGNIZED,
+)
+from .rules import classify_relation, find_instances, find_person_mentions
+
+#: detect-scorer blindness per annotator: gpt misses two template families so
+#: the cross-comparison / verification stages have real work to do (the
+#: reference's two annotators genuinely disagreed; deck 20240510 slide 8).
+BLIND_TIDS = {
+    "gemini": frozenset(),
+    "gpt": frozenset({"tea_follow", "oth_friend"}),
+}
+
+MAX_DETECT_CHARS = 4000  # reference multi_thread_gemini_api.py:107-109
+
+
+def _bucket(text: str, salt: str, mod: int) -> int:
+    h = hashlib.md5((salt + text[:128]).encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big") % mod
+
+
+def score_detect(text: str, annotator: str) -> tuple[str, str]:
+    """One document → (has_relation status, answer text).
+
+    Statuses replicate the reference's terminal states
+    (``multi_thread_gemini_api.py:186-195``): 有 / 無 / 請重新嘗試 / 無法識別.
+    """
+    doc = text[:MAX_DETECT_CHARS]
+    # rare deterministic API-failure statuses (≈1%)
+    b = _bucket(doc, annotator + ":status", 199)
+    if b == 0:
+        return STATUS_RETRY, ""
+    if b == 1:
+        return STATUS_UNRECOGNIZED, ""
+
+    instances = find_instances(doc, blind_tids=BLIND_TIDS[annotator])
+    if annotator == "gpt" and instances and _bucket(doc, "gpt:fp", 23) == 0:
+        # deterministic false positive: misread relation word (exercises
+        # cross-verification; the true annotator's version survives).
+        a, b2, _, _ = instances[0]
+        instances = instances + [(a, b2, "朋友", "noise")]
+    if not instances:
+        return NO_RELATION, NO_RELATION
+
+    quoted = _bucket(doc, annotator + ":quote", 31) == 0
+    sep = "，" if _bucket(doc, annotator + ":sep", 7) == 0 else ","
+    parts = []
+    for p1, p2, rel, _ in instances:
+        if quoted:
+            parts.append(f"('{p1}'{sep}'{p2}'{sep}'{rel}')")
+        else:
+            parts.append(f"({p1}{sep}{p2}{sep}{rel})")
+    return HAS_RELATION, HAS_RELATION + "\n" + "\n".join(parts)
+
+
+def score_verify(text: str, triples: list[tuple[str, str, str]]) -> str:
+    """k class-valued triples of one doc → numbered 正確/錯誤 answer text
+    (M5). Truth = canonical class triples of the detectable templates."""
+    doc = text[:MAX_DETECT_CHARS]
+    truth = set()
+    for p1, p2, raw, tid in find_instances(doc):
+        p1, p2 = s2t(p1), s2t(p2)  # queried triples arrive Traditional-converted
+        if p1 == p2:
+            continue
+        lo, hi = sorted([p1, p2])
+        truth.add((lo, hi, classify_relation(raw)))
+    lines = []
+    for i, (s, o, rel) in enumerate(triples, start=1):
+        verdict = "正確" if (s, o, rel) in truth else "錯誤"
+        lines.append(f"{i}.{verdict}")
+    return "\n".join(lines)
+
+
+def score_expansion_pairs(text: str, pairs: list[tuple[str, str]]) -> str:
+    """k candidate pairs of one doc → numbered 5-class answer text (M9).
+
+    ≈0.4% of batches deterministically answer with one missing line to
+    exercise the count-mismatch failure path
+    (``sota_ner/ckip_expansion.py:125-139``).
+    """
+    doc = text[:MAX_DETECT_CHARS]
+    pair_cls: dict[tuple[str, str], str] = {}
+    for p1, p2, raw, tid in find_instances(doc, include_expansion_only=True):
+        if p1 == p2:
+            continue
+        key = tuple(sorted([p1, p2]))
+        pair_cls.setdefault(key, classify_relation(raw))
+    answers = [
+        f"{i}.{pair_cls.get(tuple(sorted([a, b])), '沒有')}"
+        for i, (a, b) in enumerate(pairs, start=1)
+    ]
+    if len(answers) > 1 and _bucket(doc, "exp:miscount", 251) == 0:
+        answers = answers[:-1]
+    return " ".join(answers)
+
+
+def score_ner(text: str) -> list[str]:
+    """Person mentions of one doc (M7/M8 replacement) — surface forms
+    including simplified spellings and title-suffixed aliases."""
+    return find_person_mentions(text[:MAX_DETECT_CHARS])
+
+
+def score_taxonomy(raw_relations: list[str]) -> dict[str, str]:
+    """Distinct free-text relation words → 4-class labels (M6)."""
+    return {raw: classify_relation(raw) for raw in raw_relations}

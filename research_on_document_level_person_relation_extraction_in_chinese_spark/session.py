@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster via ``spark-submit --py-files`` — AQE on (skew-join
+splitting + post-shuffle coalescing), Arrow transfers on, and a shuffle
+partition count that AQE coalesces down at small scale and fans out at large.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kg-construct",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
+    master is supplied by spark-submit and this falls through untouched.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, (cores or os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan — coalesce small post-shuffle partitions at
+        # test scale, split skewed joins (hot Chinese surnames) at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every pandas UDF / mapInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 128 MiB input splits — sane parquet scan granularity at any SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
