@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction query (all person-relation
+triples of the synthetic Common-Crawl-style corpus). ``queries`` /
+``oracle_sql`` cover the operator inventory of SURVEY.md §2 plus the
+training-data-pipeline operators (dedup, similarity search, text analysis)
+over the driver's relational tables, each with an exact DuckDB oracle where
+SQL-expressible (non-SQL ops — KG pipeline, multimodal plumbing — are listed
+without an oracle and get the driver's rows-only check; their correctness
+gate is the pytest parity suite).
 """
 
 from __future__ import annotations
@@ -12,27 +15,700 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
+    dedup as D,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
+    simsearch as S,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
+    textstats as T,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+    extract_triples,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (
+    generate_corpus,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: person-relation triples of the synthetic corpus (the driver
+    relational tables at sf0.001 are read as a path smoke-check)."""
+    _ = _t(spark, "/root/testdata/sf0.001", "documents").count()
+    corpus = generate_corpus(spark, 400, seed=42)
+    return extract_triples(corpus)
+
+
+# --------------------------------------------------------------------------
+# relational operator battery (SURVEY §2.2–§2.5 over the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    li, o, c = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    return (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "c_name", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+def q_regional_revenue(spark, sf_dir):
+    li, o, c, n, r = (
+        _t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_regionkey") == 0)), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c, o, n = (_t(spark, sf_dir, x) for x in ("customer", "orders", "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_customers_with_orders(spark, sf_dir):
+    c, o, n = (_t(spark, sf_dir, x) for x in ("customer", "orders", "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    )
+
+
+def q_nations_customers_only(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).distinct().exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    )
+
+
+def q_nations_in_both(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def q_distinct_parts_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+def q_monthly_discounts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias("n_discounted"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_union_contacts(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    u = c.select(F.col("c_nationkey").alias("nationkey")).unionByName(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("nationkey").agg(F.count("*").alias("n_contacts"))
+
+
+def q_nation_pairs(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_regionkey").alias("rk"), F.col("n_name").alias("name_b"))
+    return a.join(b, "rk").where(F.col("name_a") < F.col("name_b")).select(
+        F.col("rk").alias("regionkey"), "name_a", "name_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# events: JSON scalar functions + window functions + sessionization
+# --------------------------------------------------------------------------
+
+def q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k":\\s*(\\d+)', 1).cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n_events")
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+    )
+
+
+def q_hourly_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis / dedup / sampling (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+def q_zh_docs_per_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("lang") == "zh").groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars")
+    )
+
+
+def q_langid_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("pred_lang"), "lang")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        )
+    )
+
+
+def q_quality_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = T.quality_features(d)
+    return q.groupBy("lang").agg(
+        F.round(F.avg("q_score"), 3).alias("avg_quality"),
+        F.round(F.avg("q_punct_ratio"), 4).alias("avg_punct_ratio"),
+        F.sum("q_n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def q_token_totals(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 25).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_simhash_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 25).select(
+        "doc_id", D.simhash(F.col("text"), n=2, bits=16).alias("simhash")
+    )
+
+
+def q_dup_prefix_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.substring("text", 1, 24)).alias("prefix_md5"), "doc_id")
+        .groupBy("prefix_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # bands=2×4 rows: selective banding — the synthetic docs share a tiny
+    # vocabulary, so looser bands would make every pair a candidate (O(n²)).
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k=8, bands=2, threshold=0.7
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, block_col="source", n=3, threshold=0.5)
+
+
+def q_hash_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    return d.where(bucket == 0).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_cooccur_distance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pa, pb = F.locate("spark", F.col("text")), F.locate("query", F.col("text"))
+    return (
+        d.where((pa > 0) & (pb > 0))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.abs(pa - pb)), 2).alias("avg_distance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    return [float(x) for x in row[0][0]]
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_bucket_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.bucketed_ann_topk(emb, _query_vec(spark, sf_dir), k=10, sign_dims=3)
+
+
+# --------------------------------------------------------------------------
+# KG pipeline + multimodal plumbing (non-SQL-expressible → rows-only check)
+# --------------------------------------------------------------------------
+
+def q_kg_triples(spark, sf_dir):
+    corpus = generate_corpus(spark, 600, seed=42)
+    return extract_triples(corpus)
+
+
+def q_media_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    feats = extract_features(attach_media(d), dims=8)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "regional_revenue": q_regional_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_orders": q_customers_with_orders,
+        "top_order_per_customer": q_top_order_per_customer,
+        "nations_customers_only": q_nations_customers_only,
+        "nations_in_both": q_nations_in_both,
+        "distinct_parts_per_flag": q_distinct_parts_per_flag,
+        "monthly_discounts": q_monthly_discounts,
+        "union_contacts": q_union_contacts,
+        "nation_pairs": q_nation_pairs,
+        "events_json": q_events_json,
+        "user_sessions": q_user_sessions,
+        "hourly_events": q_hourly_events,
+        "zh_docs_per_source": q_zh_docs_per_source,
+        "langid_counts": q_langid_counts,
+        "quality_by_lang": q_quality_by_lang,
+        "token_totals": q_token_totals,
+        "fingerprints": q_fingerprints,
+        "simhash_sample": q_simhash_sample,
+        "dup_prefix_groups": q_dup_prefix_groups,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "hash_sample": q_hash_sample,
+        "cooccur_distance": q_cooccur_distance,
+        "embedding_topk": q_embedding_topk,
+        "ann_bucket_topk": q_ann_bucket_topk,
+        "kg_triples": q_kg_triples,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — identical arithmetic, aliases matched column-for-column
+# --------------------------------------------------------------------------
+
+_SHINGLE_HASH_SQL = "(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % 1000000007)"
+
+_SHINGLES_3_SQL = """
+    SELECT doc_id, source, unnest(list_transform(
+        range(1, greatest(length(text) - 2, 0) + 1),
+        i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+    FROM documents
+"""
+
+_MINHASH_CTE = f"""
+shingles AS (
+    SELECT doc_id, source, sh FROM ({_SHINGLES_3_SQL}) GROUP BY 1, 2, 3
+),
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL.format(s='sh')} AS h FROM shingles
+),
+sig AS (
+    SELECT doc_id,
+        coalesce(min((1000003 * h + 12345) % 1000000007), 1000000007) AS m0,
+        coalesce(min((999983  * h + 54321) % 1000000007), 1000000007) AS m1,
+        coalesce(min((1000033 * h + 7)      % 1000000007), 1000000007) AS m2,
+        coalesce(min((999979  * h + 999331) % 1000000007), 1000000007) AS m3,
+        coalesce(min((1000037 * h + 271828) % 1000000007), 1000000007) AS m4,
+        coalesce(min((999961  * h + 314159) % 1000000007), 1000000007) AS m5,
+        coalesce(min((1000039 * h + 161803) % 1000000007), 1000000007) AS m6,
+        coalesce(min((999959  * h + 423606) % 1000000007), 1000000007) AS m7
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, 0 AS band, [m0, m1, m2, m3] AS bsig FROM sig UNION ALL
+    SELECT doc_id, 1, [m4, m5, m6, m7] FROM sig
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.a_id
+    JOIN shingles sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+    GROUP BY c.a_id, c.b_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            WITH rev AS (
+                SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderkey, c_name, round(r, 2) AS revenue
+            FROM rev JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY r DESC, o_orderkey LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            WHERE r_regionkey = 0
+            GROUP BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY n_name
+        """,
+        "customers_with_orders": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY n_name
+        """,
+        "top_order_per_customer": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
+            FROM ranked WHERE rn = 1
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "nations_customers_only": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
+        "nations_in_both": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
+        "distinct_parts_per_flag": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "monthly_discounts": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY 1
+        """,
+        "union_contacts": """
+            SELECT nationkey, count(*) AS n_contacts FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "nation_pairs": """
+            SELECT a.n_regionkey AS regionkey, a.n_name AS name_a, b.n_name AS name_b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        """,
+        "events_json": """
+            SELECT event_type,
+                   round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)), 4) AS avg_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "user_sessions": """
+            WITH gaps AS (
+                SELECT user_id,
+                       epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM gaps GROUP BY user_id
+        """,
+        "hourly_events": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "zh_docs_per_source": """
+            SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE lang = 'zh' GROUP BY source
+        """,
+        "langid_counts": """
+            WITH pred AS (
+                SELECT lang,
+                    CASE
+                        WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 100
+                             > greatest(length(text), 1) * 5 THEN 'zh'
+                        WHEN contains(' ' || lower(text) || ' ', ' the ')
+                          OR contains(' ' || lower(text) || ' ', ' and ') THEN 'en'
+                        WHEN contains(' ' || lower(text) || ' ', ' der ')
+                          OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+                        WHEN contains(' ' || lower(text) || ' ', ' el ')
+                          OR contains(' ' || lower(text) || ' ', ' que ') THEN 'es'
+                        WHEN contains(' ' || lower(text) || ' ', ' le ')
+                          OR contains(' ' || lower(text) || ' ', ' pour ') THEN 'fr'
+                        ELSE 'unknown'
+                    END AS pred_lang
+                FROM documents
+            )
+            SELECT pred_lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+            FROM pred GROUP BY pred_lang
+        """,
+        "quality_by_lang": """
+            WITH q AS (
+                SELECT lang,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                       length(regexp_replace(text, '[^.,;:!?，。；！？]', '', 'g')) AS n_punct
+                FROM documents
+            ), f AS (
+                SELECT lang, n_chars, n_tokens,
+                       CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok,
+                       CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+                FROM q
+            )
+            SELECT lang,
+                   round(avg(round(
+                       least(n_tokens / 100.0, 1.0) * 0.5
+                       + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                       + CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 0.2 ELSE 0.0 END
+                   , 4)), 3) AS avg_quality,
+                   round(avg(round(punct_ratio, 4)), 4) AS avg_punct_ratio,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM f GROUP BY lang
+        """,
+        "token_totals": """
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007
+                   ) AS fp
+            FROM documents WHERE doc_id < 25
+        """,
+        "simhash_sample": f"""
+            WITH sh2 AS (
+                SELECT doc_id, sh FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(1, greatest(length(text) - 1, 0) + 1),
+                        i -> substr(text, CAST(i AS INTEGER), 2))) AS sh
+                    FROM documents WHERE doc_id < 25
+                ) GROUP BY 1, 2
+            ),
+            h AS (SELECT doc_id, {_SHINGLE_HASH_SQL.format(s='sh')} AS h FROM sh2),
+            bits AS (
+                SELECT doc_id, j.j,
+                       CASE WHEN sum(((h >> j.j) & 1) * 2 - 1) > 0
+                            THEN CAST(1 << j.j AS BIGINT) ELSE 0 END AS bit
+                FROM h, generate_series(0, 15) AS j(j)
+                GROUP BY doc_id, j.j
+            )
+            SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "dup_prefix_groups": """
+            SELECT md5(substr(text, 1, 24)) AS prefix_md5,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_lsh": f"""
+            WITH {_MINHASH_CTE}
+            SELECT i.a_id, i.b_id,
+                   round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+                         JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.7
+        """,
+        "ngram_jaccard": f"""
+            WITH shingles AS (
+                SELECT doc_id, source, sh FROM ({_SHINGLES_3_SQL}) GROUP BY 1, 2, 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                FROM shingles a JOIN shingles b
+                  ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id,
+                   round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+                         JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.5
+        """,
+        "hash_sample": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+            GROUP BY lang
+        """,
+        "cooccur_distance": """
+            SELECT source, count(*) AS n_docs,
+                   round(avg(abs(strpos(text, 'spark') - strpos(text, 'query'))), 2) AS avg_distance
+            FROM documents
+            WHERE strpos(text, 'spark') > 0 AND strpos(text, 'query') > 0
+            GROUP BY source
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS c
+                FROM embeddings, q
+            )
+            SELECT vec_id, round(c, 6) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "ann_bucket_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            bucketed AS (
+                SELECT vec_id, embedding, qv,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS b,
+                       (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS qb
+                FROM embeddings, q
+            ),
+            scored AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS c
+                FROM bucketed WHERE b = qb
+            )
+            SELECT vec_id, round(c, 6) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        # kg_triples / media_features: non-SQL-expressible (deterministic
+        # scorer pipeline / Arrow binary plumbing) → rows-only check; their
+        # correctness gate is tests/test_pipeline_e2e.py (parity vs the
+        # reference-logic port) and tests/test_multimodal.py.
+    }

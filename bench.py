@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}`` plus KG-pipeline throughput extras
+(docs/sec, triples/sec — the BASELINE.json metric).
+
+Set ``SPARK_GRAFT_SCALING=1`` to also run the KG pipeline at two parallelism
+levels (local[N/4] vs local[N]) on the same input and report scaling
+efficiency (the sandbox evidence for the N→4N-executor rule); results are
+also appended to BENCH/ by scripts/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from research_on_document_level_person_relation_extraction_in_chinese_spark import (  # noqa: E402
+    get_spark,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (  # noqa: E402
+    extract_triples,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (  # noqa: E402
+    generate_corpus,
+)
+
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "regional_revenue",
+    "top_order_per_customer",
+    "user_sessions",
+    "hourly_events",
+    "events_json",
+    "quality_by_lang",
+    "token_totals",
+    "langid_counts",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash_sample",
+    "embedding_topk",
+    "ann_bucket_topk",
+]
+
+
+def _noop_run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def kg_bench(spark, n_docs: int) -> dict:
+    corpus = generate_corpus(spark, n_docs, seed=42)
+    t0 = time.perf_counter()
+    triples = extract_triples(corpus)
+    n_triples = triples.count()
+    sec = time.perf_counter() - t0
+    return {
+        "docs": n_docs,
+        "triples": n_triples,
+        "sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec, 2),
+        "triples_per_sec": round(n_triples / sec, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    sf = _sf_of(sf_dir)
+    n_docs = max(400, int(40000 * sf))
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    queries = entry_mod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop_run(queries[name](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    kg = kg_bench(spark, n_docs)
+    times["kg_triples"] = kg["sec"]
+    total += kg["sec"]
+
+    result = {
+        "metric": "headline_queries_plus_kg_pipeline",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_docs": kg["docs"],
+        "kg_triples": kg["triples"],
+        "docs_per_sec": kg["docs_per_sec"],
+        "triples_per_sec": kg["triples_per_sec"],
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        lo_cores = max(cpus // 4, 1)
+        lo = get_spark("bench-lo", cores=lo_cores, shuffle_partitions=max(lo_cores, 8))
+        kg_lo = kg_bench(lo, n_docs)
+        lo.stop()
+        eff = (kg["triples_per_sec"] / kg_lo["triples_per_sec"]) / (cpus / lo_cores)
+        result["scaling"] = {
+            "n_cores": lo_cores,
+            "n_triples_per_sec": kg_lo["triples_per_sec"],
+            "4n_cores": cpus,
+            "4n_triples_per_sec": kg["triples_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,9 +61,10 @@ def density_and_pairs(
     for ents, g, p, doc in zip(entities, gemini_trad, gpt_trad, trad_text):
         already = {
             (t["subj"], t["obj"])
-            for t in list(g or []) + list(p or [])
+            for t in (list(g) if g is not None else []) + (list(p) if p is not None else [])
         }
-        density, extra = expansion_pairs(list(ents or []), already, doc or "")
+        ent_list = list(ents) if ents is not None else []
+        density, extra = expansion_pairs(ent_list, already, doc if doc is not None else "")
         rows.append(
             {
                 "density": density,
@@ -121,7 +122,7 @@ def expansion_stage(consensus_df: DataFrame, scorer: str = "deterministic") -> D
             for density, pairs, doc in zip(
                 pdf["density"], pdf["extra_pairs"], pdf["trad_text"]
             ):
-                pairs = [(p["p1"], p["p2"]) for p in (pairs or [])]
+                pairs = [(p["p1"], p["p2"]) for p in (list(pairs) if pairs is not None else [])]
                 if density != "middle" or not pairs:
                     ternaries.append([])
                     failed.append(False)

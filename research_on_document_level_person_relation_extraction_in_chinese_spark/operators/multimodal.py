@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (driver mandate).
+
+Image/audio/video ride as opaque ``binary`` columns + typed metadata structs;
+decode / feature-extract run as Arrow-batched ``mapInPandas`` stages. The
+actual codec step is STUBBED (pillow/librosa/av are not in this container):
+``decode_image`` raises ``NotImplementedError`` unless a decoder is
+registered, and ``fake_feature_extract`` is the deterministic test double
+(byte histogram + length) that keeps the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<width:int,height:int,sample_rate:int,n_frames:int>"
+)
+
+_DECODERS: dict[str, Callable[[bytes, dict], np.ndarray]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes, dict], np.ndarray]) -> None:
+    _DECODERS[media_type] = fn
+
+
+def decode_image(payload: bytes, meta: dict) -> np.ndarray:
+    """Real decode hook — STUB: no image codec in this container."""
+    if "image" in _DECODERS:
+        return _DECODERS["image"](payload, meta)
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. pillow); register one "
+        "with register_decoder('image', fn)"
+    )
+
+
+def fake_feature_extract(payload: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector: normalized byte histogram folded
+    to ``dims`` buckets + md5-derived stable jitter. Pure function of bytes."""
+    if not payload:
+        return [0.0] * dims
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dims, minlength=dims).astype("float64")
+    hist /= max(arr.size, 1)
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big") / 2**32
+    return [round(float(v + seed * 1e-6), 9) for v in hist]
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize a media table from a doc table (deterministic payload =
+    UTF-8 bytes of the text — a stand-in for real image/audio bytes)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, dims: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    One ``mapInPandas`` pass; at scale this is exactly where a GPU decoder
+    would slot in (one model per executor, batch = Arrow batch).
+    """
+    out_schema = f"doc_id long, media_type string, features array<double>, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": [fake_feature_extract(p, dims) for p in pdf["payload"]],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=out_schema)

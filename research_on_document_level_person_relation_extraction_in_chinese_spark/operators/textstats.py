@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (script/stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (polynomial rolling
+hash) — each expressed with built-in ``pyspark.sql.functions`` only, so the
+whole stage stays inside whole-stage codegen (no Python in the hot path) and
+each has an exact DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: polynomial rolling-hash modulus (fits products in int64: 31 * p < 2^63)
+FP_MOD = 1_000_000_007
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-alnum marks
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID — CJK-script ratio → zh, else stopword cues.
+    Deterministic, SQL-expressible (oracle keeps the identical CASE chain)."""
+    cjk = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    total = F.greatest(F.length(text), F.lit(1))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.when(cjk * 100 > total * 5, "zh")
+        .when(padded.contains(" the ") | padded.contains(" and "), "en")
+        .when(padded.contains(" der ") | padded.contains(" und "), "de")
+        .when(padded.contains(" el ") | padded.contains(" que "), "es")
+        .when(padded.contains(" le ") | padded.contains(" pour "), "fr")
+        .otherwise("unknown")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: char count, whitespace-token count, mean
+    token length, punctuation ratio, and a composite quality score."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    tokens = F.split(F.trim(text), "\\s+")
+    n_tokens = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(tokens))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?，。；！？]", ""))
+    mean_tok = F.when(n_tokens > 0, (n_chars.cast("double") / n_tokens)).otherwise(0.0)
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 0.2).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok, 4).alias("q_mean_token_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regex extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over UTF-8 code units of the string:
+    ``h = (h*31 + codepoint(ch)) mod 1e9+7`` — identical arithmetic is
+    reproduced in the DuckDB oracle, so fingerprints compare exactly."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + _codepoint(ch)) % F.lit(FP_MOD),
+    )
+
+
+def _codepoint(ch: Column) -> Column:
+    # ascii() in Spark returns the Unicode code point of the first character
+    return F.ascii(ch).cast("long")

@@ -95,8 +95,12 @@ class StageCatalog:
             return json.load(f)
 
     def lineage(self, name: str) -> dict:
-        """Transitive lineage tree for a stage (manifest chain)."""
-        node = self.manifest(name)
+        """Transitive lineage tree for a stage (manifest chain); inputs with
+        no manifest (e.g. the raw web_pages source) appear as external."""
+        try:
+            node = self.manifest(name)
+        except FileNotFoundError:
+            return {"stage": name, "external": True, "inputs": []}
         return {
             "stage": name,
             "snapshot_id": node["snapshot_id"],
