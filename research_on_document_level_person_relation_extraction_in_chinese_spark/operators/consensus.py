@@ -11,48 +11,61 @@ trad-keyed dedup and self-pair drop.
 Spark shape: trad-conversion is a pandas UDF; intersection/xor/union/dedup
 are JVM-side array ops (``array_intersect`` / ``array_except`` /
 ``array_distinct`` / ``filter``) — whole-stage codegen, zero shuffles; only
-the verify scorer crosses into Python, over the (small) subset of rows with
-disagreements, in the same ``mapInPandas`` pass (no join back).
+the verify scorer crosses into Python (a struct-returning pandas UDF whose
+inputs are just text + the two xor arrays), over the subset of rows with
+disagreements — no join back, no passthrough serialization.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pyspark.sql.types import BooleanType, StructField, StructType
+
 from ..functions.chinese import s2t
 from ..functions.parse import parse_verdicts
 from ..scorers import get_scorer
-from .parse import TERNARY_DT, TERNARY_T
+from .parse import TERNARY_DT
 
 
-@pandas_udf(TERNARY_DT)
-def to_traditional_triples(ternary: pd.Series) -> pd.Series:
-    """s2t-convert every field and re-canonicalize the pair (conversion can
-    change codepoint order; the reference compensates by comparing with
-    ``set()`` equality — re-sorting is the typed equivalent)."""
-    out = []
-    for triples in ternary:
-        conv = []
-        for t in triples if triples is not None else []:
-            p1, p2, rel = s2t(t["subj"]), s2t(t["obj"]), s2t(t["rel"])
-            lo, hi = sorted([p1, p2])
-            conv.append({"subj": lo, "obj": hi, "rel": rel})
-        out.append(conv)
-    return pd.Series(out)
+def _trad_triples(triples) -> list[dict]:
+    conv = []
+    for t in triples if triples is not None else []:
+        p1, p2, rel = s2t(t["subj"]), s2t(t["obj"]), s2t(t["rel"])
+        lo, hi = sorted([p1, p2])
+        conv.append({"subj": lo, "obj": hi, "rel": rel})
+    return conv
+
+
+_DUAL_TRAD_DT = StructType(
+    [StructField("gemini", TERNARY_DT), StructField("gpt", TERNARY_DT)]
+)
+
+
+@pandas_udf(_DUAL_TRAD_DT)
+def to_traditional_triples_dual(gemini: pd.Series, gpt: pd.Series) -> pd.DataFrame:
+    """s2t-convert every field of both annotators' triple arrays (one fused
+    Python node) and re-canonicalize the pair (conversion can change
+    codepoint order; the reference compensates by comparing with ``set()``
+    equality — re-sorting is the typed equivalent)."""
+    return pd.DataFrame(
+        {"gemini": [_trad_triples(g) for g in gemini], "gpt": [_trad_triples(p) for p in gpt]}
+    )
 
 
 def consensus_stage(parsed: DataFrame, scorer: str = "deterministic") -> DataFrame:
     """+ per-annotator trad/checked/not_pass/verify_error columns and the
     merged ``consensus_label`` / ``consensus_entities``."""
     mod = get_scorer(scorer)
-    df = parsed
+    df = parsed.withColumn(
+        "_trad", to_traditional_triples_dual(F.col("gemini_ternary"), F.col("gpt_ternary"))
+    )
     for ann in ("gemini", "gpt"):
-        df = df.withColumn(f"{ann}_ternary_trad", to_traditional_triples(F.col(f"{ann}_ternary")))
+        df = df.withColumn(f"{ann}_ternary_trad", F.col(f"_trad.{ann}"))
+    df = df.drop("_trad")
 
     g, p = F.col("gemini_ternary_trad"), F.col("gpt_ternary_trad")
     df = (
@@ -62,49 +75,61 @@ def consensus_stage(parsed: DataFrame, scorer: str = "deterministic") -> DataFra
         .withColumn("gpt_wrong", F.array_except(p, g))
     )
 
-    # verification of disagreed triples — wide mapInPandas pass (scorer only
-    # touches rows that actually have xor triples)
-    out_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns]
-        + [
-            f"{ann}_{field} {typ}"
+    # verification of disagreed triples — struct-returning pandas UDF: only
+    # (text, wrong_g, wrong_p) cross into Python, and the scorer only touches
+    # rows that actually have xor triples
+    verify_dt = StructType(
+        [
+            StructField(f"{ann}_{field}", typ)
             for ann in ("gemini", "gpt")
             for field, typ in (
-                ("pass", TERNARY_T),
-                ("not_pass", TERNARY_T),
-                ("verify_error", "boolean"),
+                ("pass", TERNARY_DT),
+                ("not_pass", TERNARY_DT),
+                ("verify_error", BooleanType()),
             )
         ]
     )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for ann in ("gemini", "gpt"):
-                passes, fails, errors = [], [], []
-                for text, wrong in zip(pdf["text"], pdf[f"{ann}_wrong"]):
-                    wrong = list(wrong) if wrong is not None else []
-                    if not wrong:
-                        passes.append([])
-                        fails.append([])
-                        errors.append(False)
-                        continue
-                    triples = [(t["subj"], t["obj"], t["rel"]) for t in wrong]
-                    answer = mod.score_verify(text, triples)
-                    verdicts = parse_verdicts(answer, len(triples))
-                    if verdicts is None:  # 驗證過程有誤
-                        passes.append([])
-                        fails.append(wrong)
-                        errors.append(True)
-                    else:
-                        passes.append([w for w, ok in zip(wrong, verdicts) if ok])
-                        fails.append([w for w, ok in zip(wrong, verdicts) if not ok])
-                        errors.append(False)
-                pdf[f"{ann}_pass"] = passes
-                pdf[f"{ann}_not_pass"] = fails
-                pdf[f"{ann}_verify_error"] = errors
-            yield pdf
+    def _verify_one(mod, text, wrong) -> tuple[list, list, bool]:
+        wrong = list(wrong) if wrong is not None else []
+        if not wrong:
+            return [], [], False
+        triples = [(t["subj"], t["obj"], t["rel"]) for t in wrong]
+        answer = mod.score_verify(text, triples)
+        verdicts = parse_verdicts(answer, len(triples))
+        if verdicts is None:  # 驗證過程有誤
+            return [], wrong, True
+        return (
+            [w for w, ok in zip(wrong, verdicts) if ok],
+            [w for w, ok in zip(wrong, verdicts) if not ok],
+            False,
+        )
 
-    df = df.mapInPandas(verify, schema=out_schema)
+    @pandas_udf(verify_dt)
+    def verify_udf(text: pd.Series, wrong_g: pd.Series, wrong_p: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, wg, wp in zip(text, wrong_g, wrong_p):
+            gp, gn, ge = _verify_one(mod, t, wg)
+            pp, pn, pe = _verify_one(mod, t, wp)
+            rows.append(
+                {
+                    "gemini_pass": gp,
+                    "gemini_not_pass": gn,
+                    "gemini_verify_error": ge,
+                    "gpt_pass": pp,
+                    "gpt_not_pass": pn,
+                    "gpt_verify_error": pe,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = df.withColumn(
+        "_verify", verify_udf(F.col("text"), F.col("gemini_wrong"), F.col("gpt_wrong"))
+    )
+    for ann in ("gemini", "gpt"):
+        for field in ("pass", "not_pass", "verify_error"):
+            df = df.withColumn(f"{ann}_{field}", F.col(f"_verify.{ann}_{field}"))
+    df = df.drop("_verify")
 
     # checked_by = consensus hits + verified passes (reference :244-263);
     # consensus_label = trad-deduped union with self-pair drop (:26-81)

@@ -9,153 +9,118 @@ batched 5-way relation prompt per doc for all its extra pairs, (5) merge with
 consensus preferring consensus per pair + hallucination filter, (6) 1024-char
 truncation-survival golden variant.
 
-Spark shape: per-doc pair generation stays inside the pandas UDF (bounded to
-105 pairs by F10 — this is why a quadratic pair self-join is never needed),
-the batched pair scorer is one ``mapInPandas`` pass, and the merge/truncation
-steps are JVM array expressions.
+Spark shape: steps 1–4 are ONE struct-returning pandas UDF — only
+``(text, gemini_trad, gpt_trad)`` cross the Arrow boundary; per-doc pair
+generation stays bounded by the F10 caps (≤105 pairs, so no quadratic
+self-join is ever needed). The merge and truncation steps (5–6) are JVM
+array expressions in whole-stage codegen.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from ..functions.analysis import MAX_DOC_LENGTH, expansion_pairs
+from ..functions.analysis import expansion_pairs
 from ..functions.chinese import s2t
 from ..functions.parse import parse_five_class_answers
 from ..scorers import get_scorer
-from .parse import TERNARY_T
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from .parse import TERNARY_DT
 
-PAIRS_DT = StructType(
+_PAIR_DT = ArrayType(
+    StructType([StructField("p1", StringType()), StructField("p2", StringType())])
+)
+_EXPAND_DT = StructType(
     [
+        StructField("trad_text", StringType()),
+        StructField("ckip_entity", ArrayType(StringType())),
         StructField("density", StringType()),
-        StructField(
-            "extra_pairs",
-            ArrayType(
-                StructType(
-                    [StructField("p1", StringType()), StructField("p2", StringType())]
-                )
-            ),
-        ),
+        StructField("extra_pairs", _PAIR_DT),
+        StructField("expansion_ternary", TERNARY_DT),
+        StructField("expansion_failed", BooleanType()),
     ]
 )
 
 
-@pandas_udf(StringType())
-def to_traditional_text(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: s2t(t) if t is not None else None)
+def _expand_one(mod, text, gemini_trad, gpt_trad) -> dict:
+    trad_text = s2t(text) if text is not None else ""
+    entities = mod.score_ner(trad_text)
+    already = {
+        (t["subj"], t["obj"])
+        for t in (list(gemini_trad) if gemini_trad is not None else [])
+        + (list(gpt_trad) if gpt_trad is not None else [])
+    }
+    density, extra = expansion_pairs(entities, already, trad_text)
+
+    ternary: list[dict] = []
+    failed = False
+    if density == "middle" and extra:
+        answer = mod.score_expansion_pairs(trad_text, extra)
+        classes = parse_five_class_answers(answer, len(extra))
+        if classes is None:  # count mismatch → doc fails expansion (M9)
+            failed = True
+        else:
+            ternary = [
+                {"subj": a, "obj": b, "rel": cls}
+                for (a, b), cls in zip(extra, classes)
+                if cls != "沒有"
+            ]
+    return {
+        "trad_text": trad_text,
+        "ckip_entity": entities,
+        "density": density,
+        "extra_pairs": [{"p1": a, "p2": b} for a, b in extra],
+        "expansion_ternary": ternary,
+        "expansion_failed": failed,
+    }
 
 
-@pandas_udf(PAIRS_DT)
-def density_and_pairs(
-    entities: pd.Series, gemini_trad: pd.Series, gpt_trad: pd.Series, trad_text: pd.Series
-) -> pd.DataFrame:
-    """F10 density + J3 anti-join of candidate pairs against already-labeled
-    annotator pairs (reference ``ckip_expansion.py:62-97``)."""
-    rows = []
-    for ents, g, p, doc in zip(entities, gemini_trad, gpt_trad, trad_text):
-        already = {
-            (t["subj"], t["obj"])
-            for t in (list(g) if g is not None else []) + (list(p) if p is not None else [])
-        }
-        ent_list = list(ents) if ents is not None else []
-        density, extra = expansion_pairs(ent_list, already, doc if doc is not None else "")
-        rows.append(
-            {
-                "density": density,
-                "extra_pairs": [{"p1": a, "p2": b} for a, b in extra],
-            }
+def make_expand_udf(scorer: str = "deterministic"):
+    mod = get_scorer(scorer)
+
+    @pandas_udf(_EXPAND_DT)
+    def expand_udf(text: pd.Series, g_trad: pd.Series, p_trad: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_expand_one(mod, t, g, p) for t, g, p in zip(text, g_trad, p_trad)]
         )
-    return pd.DataFrame(rows)
+
+    return expand_udf
 
 
 def expansion_stage(consensus_df: DataFrame, scorer: str = "deterministic") -> DataFrame:
     """Input: consensus stage output (must already be filtered to
     ``size(consensus_label) > 0`` — reference ``ckip_expansion.py:238-239``).
-    Adds: trad_text, ckip_entity, density, expansion_ternary,
+    Adds: trad_text, ckip_entity, density, extra_pairs, expansion_ternary,
     expansion_failed, merge_label, merge_label_1024."""
-    mod = get_scorer(scorer)
-    df = consensus_df.withColumn("trad_text", to_traditional_text(F.col("text")))
-
-    # M7 person NER (batched scorer pass)
-    ner_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns]
-        + ["ckip_entity array<string>"]
+    udf = make_expand_udf(scorer)
+    df = consensus_df.withColumn(
+        "_exp",
+        udf(F.col("text"), F.col("gemini_ternary_trad"), F.col("gpt_ternary_trad")),
     )
-
-    def ner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf["ckip_entity"] = [mod.score_ner(t) for t in pdf["trad_text"]]
-            yield pdf
-
-    df = df.mapInPandas(ner, schema=ner_schema)
-
-    df = df.withColumn(
-        "_dp",
-        density_and_pairs(
-            F.col("ckip_entity"),
-            F.col("gemini_ternary_trad"),
-            F.col("gpt_ternary_trad"),
-            F.col("trad_text"),
-        ),
-    )
-    df = (
-        df.withColumn("density", F.col("_dp.density"))
-        .withColumn("extra_pairs", F.col("_dp.extra_pairs"))
-        .drop("_dp")
-    )
-
-    # M9 batched 5-way pair classification (middle-density docs only)
-    cls_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns]
-        + [f"expansion_ternary {TERNARY_T}", "expansion_failed boolean"]
-    )
-
-    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ternaries, failed = [], []
-            for density, pairs, doc in zip(
-                pdf["density"], pdf["extra_pairs"], pdf["trad_text"]
-            ):
-                pairs = [(p["p1"], p["p2"]) for p in (list(pairs) if pairs is not None else [])]
-                if density != "middle" or not pairs:
-                    ternaries.append([])
-                    failed.append(False)
-                    continue
-                answer = mod.score_expansion_pairs(doc, pairs)
-                classes = parse_five_class_answers(answer, len(pairs))
-                if classes is None:  # count mismatch → doc fails expansion
-                    ternaries.append([])
-                    failed.append(True)
-                    continue
-                ternaries.append(
-                    [
-                        {"subj": a, "obj": b, "rel": cls}
-                        for (a, b), cls in zip(pairs, classes)
-                        if cls != "沒有"
-                    ]
-                )
-                failed.append(False)
-            pdf["expansion_ternary"] = ternaries
-            pdf["expansion_failed"] = failed
-            yield pdf
-
-    df = df.mapInPandas(classify, schema=cls_schema)
+    for field in _EXPAND_DT.fieldNames():
+        df = df.withColumn(field, F.col(f"_exp.{field}"))
+    df = df.drop("_exp")
 
     # merge (reference merge_label :159-192): density-high docs dropped; keep
     # consensus triples whose names survive the hallucination check, then add
     # expansion triples for pairs not already covered.
-    doc4000 = F.col("trad_text")
+    doc = F.col("trad_text")
     kept_consensus = F.filter(
         F.col("consensus_label"),
-        lambda t: doc4000.contains(t["subj"]) & doc4000.contains(t["obj"]),
+        lambda t: doc.contains(t["subj"]) & doc.contains(t["obj"]),
     )
-    covered = F.transform(kept_consensus, lambda t: F.struct(t["subj"].alias("p1"), t["obj"].alias("p2")))
+    covered = F.transform(
+        kept_consensus, lambda t: F.struct(t["subj"].alias("p1"), t["obj"].alias("p2"))
+    )
     extra_kept = F.filter(
         F.col("expansion_ternary"),
         lambda t: ~F.array_contains(

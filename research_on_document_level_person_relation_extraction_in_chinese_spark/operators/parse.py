@@ -55,15 +55,38 @@ def _parse_cell(output, has_relation, tolerant: bool):
     }
 
 
-@pandas_udf(PARSED_DT)
-def _parse_tolerant(output: pd.Series, has_relation: pd.Series) -> pd.DataFrame:
-    rows = [_parse_cell(o, h, True) for o, h in zip(output, has_relation)]
+DUAL_PARSED_DT = StructType(
+    [StructField("gemini", PARSED_DT), StructField("gpt", PARSED_DT)]
+)
+
+
+@pandas_udf(DUAL_PARSED_DT)
+def _parse_dual_tolerant(
+    g_out: pd.Series, g_has: pd.Series, p_out: pd.Series, p_has: pd.Series
+) -> pd.DataFrame:
+    # both annotators parsed in ONE Python node: python-worker startup cost
+    # is per (plan node × partition), so fused nodes halve the fixed overhead
+    rows = [
+        {
+            "gemini": _parse_cell(go, gh, True),
+            "gpt": _parse_cell(po, ph, True),
+        }
+        for go, gh, po, ph in zip(g_out, g_has, p_out, p_has)
+    ]
     return pd.DataFrame(rows)
 
 
-@pandas_udf(PARSED_DT)
-def _parse_strict(output: pd.Series, has_relation: pd.Series) -> pd.DataFrame:
-    rows = [_parse_cell(o, h, False) for o, h in zip(output, has_relation)]
+@pandas_udf(DUAL_PARSED_DT)
+def _parse_dual_strict(
+    g_out: pd.Series, g_has: pd.Series, p_out: pd.Series, p_has: pd.Series
+) -> pd.DataFrame:
+    rows = [
+        {
+            "gemini": _parse_cell(go, gh, False),
+            "gpt": _parse_cell(po, ph, False),
+        }
+        for go, gh, po, ph in zip(g_out, g_has, p_out, p_has)
+    ]
     return pd.DataFrame(rows)
 
 
@@ -78,13 +101,20 @@ def parse_stage(annotated: DataFrame, annotators=("gemini", "gpt"), tolerant: bo
 
     ``tolerant`` selects the parse-kernel variant (test/inference path strips
     quotes + accepts ``，``; train path is comma-only — SURVEY §7.3 risk 1).
+    Both annotators run in one fused Python node.
     """
-    udf = _parse_tolerant if tolerant else _parse_strict
-    df = annotated
+    assert tuple(annotators) == ("gemini", "gpt"), "fused parse expects both annotators"
+    udf = _parse_dual_tolerant if tolerant else _parse_dual_strict
+    df = annotated.withColumn(
+        "_parsed",
+        udf(
+            F.col("gemini_output"),
+            F.col("gemini_has_relation"),
+            F.col("gpt_output"),
+            F.col("gpt_has_relation"),
+        ),
+    )
     for ann in annotators:
-        parsed = udf(F.col(f"{ann}_output"), F.col(f"{ann}_has_relation"))
-        df = df.withColumn(f"_{ann}_parsed", parsed)
         for field in ("ternary", "relations", "entities", "parse_error"):
-            df = df.withColumn(f"{ann}_{field}", F.col(f"_{ann}_parsed.{field}"))
-        df = df.drop(f"_{ann}_parsed")
-    return df
+            df = df.withColumn(f"{ann}_{field}", F.col(f"_parsed.{ann}.{field}"))
+    return df.drop("_parsed")

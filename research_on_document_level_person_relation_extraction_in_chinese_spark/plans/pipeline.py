@@ -20,23 +20,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.annotate import annotate
-from ..operators.consensus import consensus_stage
 from ..operators.expansion import expansion_stage
+from ..operators.fused import annotate_parse_stage, fused_consensus_stage
 from ..operators.graph import build_edges, build_nodes
 from ..operators.linking import link_entities
-from ..operators.parse import parse_stage
 from ..operators.taxonomy import build_taxonomy, remap_relations
 from ..sources.catalog import StageCatalog
 
 
-def _expanded_frame(docs: DataFrame, scorer: str) -> DataFrame:
+def _expanded_frame(docs: DataFrame, scorer: str, cache: bool = True) -> DataFrame:
     zh = docs.filter(F.col("lang") == "zh").select("url", "text")
-    annotated = annotate(zh, scorer=scorer)
-    parsed = parse_stage(annotated)
+    parsed = annotate_parse_stage(zh, scorer=scorer)
+    if cache:
+        # parsed is consumed twice (taxonomy barrier + main chain); persisting
+        # avoids re-running the scorer scan per job. The checkpointed
+        # (StageCatalog) path is the 100-TB equivalent — a stage table on
+        # disk instead of executor memory.
+        parsed = parsed.persist()
     taxonomy = build_taxonomy(parsed, scorer=scorer)  # global barrier (tiny)
     remapped = remap_relations(parsed, taxonomy)
-    cons = consensus_stage(remapped, scorer=scorer)
+    cons = fused_consensus_stage(remapped, scorer=scorer)
     cons_docs = cons.filter(F.size("consensus_label") > 0)
     return expansion_stage(cons_docs, scorer=scorer)
 
@@ -95,11 +98,12 @@ def run_pipeline(
             out[f"gemini={r['gemini_has_relation']},gpt={r['gpt_has_relation']}"] = r["count"]
         return out
 
-    annotated = checkpoint(
-        "annotated", lambda: annotate(zh, scorer=scorer), ["web_pages"], detect_metrics
+    parsed = checkpoint(
+        "annotated",
+        lambda: annotate_parse_stage(zh, scorer=scorer),
+        ["web_pages"],
+        detect_metrics,
     )
-
-    parsed = parse_stage(annotated)
     taxonomy = build_taxonomy(parsed, scorer=scorer)
     metrics["taxonomy"] = {"n_distinct_relations": len(taxonomy)}
     remapped = remap_relations(parsed, taxonomy)
@@ -117,7 +121,7 @@ def run_pipeline(
 
     cons = checkpoint(
         "consensus",
-        lambda: consensus_stage(remapped, scorer=scorer),
+        lambda: fused_consensus_stage(remapped, scorer=scorer),
         ["annotated"],
         consensus_metrics,
     )
@@ -151,7 +155,7 @@ def run_pipeline(
         catalog.write_stage(edges, "edges", inputs=["expanded"], bucket_col="subj_id")
 
     return {
-        "annotated": annotated,
+        "annotated": parsed,
         "consensus": cons,
         "expanded": expanded,
         "triples": triples,

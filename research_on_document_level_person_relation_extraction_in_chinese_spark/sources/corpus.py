@@ -187,9 +187,18 @@ def _batch_gen(ids: pd.Series, seed: int, want: str) -> pd.DataFrame:
     )
 
 
+def _default_partitions(spark, n_docs: int) -> int:
+    """Data-proportional partitioning (~500 docs/partition, the
+    maxPartitionBytes analog): partition count scales with DATA volume, not
+    core count. Python-worker startup is paid per (plan node × partition), so
+    core-count-sized partitioning over-pays at small inputs while large
+    inputs naturally exceed the core count and saturate the cluster."""
+    return max(2, min(n_docs // 500 + 1, spark.sparkContext.defaultParallelism * 4))
+
+
 def generate_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Distributed corpus DataFrame (url, warc_ts, html, text, lang)."""
-    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    partitions = partitions or _default_partitions(spark, n_docs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,7 +212,7 @@ def generate_corpus(spark, n_docs: int, seed: int = 42, partitions: int | None =
 
 def golden_triples(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Generator-emitted oracle triples (url, subj, obj, rel, in_first_1024)."""
-    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    partitions = partitions or _default_partitions(spark, n_docs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

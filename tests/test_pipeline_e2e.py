@@ -5,8 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.evaluate import (
+    evaluate_entities,
     evaluate_pairs,
     evaluate_triples,
+    triples_to_entities,
 )
 from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
     check_graph_consistency,
@@ -48,6 +50,8 @@ def test_accuracy_vs_golden(spark, docs, triples):
     assert res["recall"] >= 0.97, res
     pair_res = evaluate_pairs(triples, gold)
     assert pair_res["f1"] >= res["f1"] - 1e-9  # pair match is never harder
+    ent_res = evaluate_entities(triples_to_entities(triples), triples_to_entities(gold))
+    assert ent_res["f1"] >= pair_res["f1"] - 1e-9  # entity match never harder
 
 
 def test_parity_vs_reference_logic(spark, docs, triples):
