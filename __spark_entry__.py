@@ -333,6 +333,11 @@ def q_ann_bucket_topk(spark, sf_dir):
     return S.bucketed_ann_topk(emb, _query_vec(spark, sf_dir), k=10, sign_dims=3)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, sign_dims=3, max_id=2000)
+
+
 # --------------------------------------------------------------------------
 # KG pipeline + multimodal plumbing (non-SQL-expressible → rows-only check)
 # --------------------------------------------------------------------------
@@ -340,6 +345,26 @@ def q_ann_bucket_topk(spark, sf_dir):
 def q_kg_triples(spark, sf_dir):
     corpus = generate_corpus(spark, 600, seed=42)
     return extract_triples(corpus)
+
+
+def q_kg_nodes(spark, sf_dir):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    nodes = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["nodes"]
+    return nodes.select("person_id", "canonical_name", F.size("aliases").alias("n_aliases"), "n_docs")
+
+
+def q_kg_edges(spark, sf_dir):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    edges = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["edges"]
+    return edges.select("subj_id", "obj_id", "rel", "n_docs")
 
 
 def q_media_features(spark, sf_dir):
@@ -380,7 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_distance": q_cooccur_distance,
         "embedding_topk": q_embedding_topk,
         "ann_bucket_topk": q_ann_bucket_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
         "media_features": q_media_features,
     }
 
@@ -707,8 +735,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
-        # kg_triples / media_features: non-SQL-expressible (deterministic
-        # scorer pipeline / Arrow binary plumbing) → rows-only check; their
-        # correctness gate is tests/test_pipeline_e2e.py (parity vs the
-        # reference-logic port) and tests/test_multimodal.py.
+        "embedding_near_dups": """
+            WITH b AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+                FROM embeddings WHERE vec_id < 2000
+            ),
+            scored AS (
+                SELECT a.id AS a_id, b2.id AS b_id,
+                       round(list_dot_product(a.e, b2.e)
+                             / (sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cosine
+                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+            )
+            SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.4
+        """,
+        # kg_triples / kg_nodes / kg_edges / media_features:
+        # non-SQL-expressible (deterministic scorer pipeline, iterative
+        # connected components, Arrow binary plumbing) → rows-only check;
+        # their correctness gate is tests/test_pipeline_e2e.py (parity vs the
+        # reference-logic port) and tests/test_multimodal_streaming.py.
     }

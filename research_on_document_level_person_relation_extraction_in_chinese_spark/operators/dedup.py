@@ -148,25 +148,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Blocked all-pairs n-gram Jaccard (the small/verify-path variant: join
-    bounded by the blocking column, e.g. same source)."""
-    base = docs.select(
+    """Blocked n-gram Jaccard via the inverted-index set-similarity join
+    (the MapReduce-era standard — explode distinct shingles, equi-join on
+    (block, shingle), count co-occurrences, derive Jaccard from set sizes).
+
+    Scale shape: no array cross-join ever materializes — the shuffle keys are
+    (block, shingle) and the aggregation is partial (map-side combined).
+    Known refinement for adversarial data: hot shingles fan out; prefix
+    filtering (sort shingles by global frequency, join only on each set's
+    rarest ⌈(1-θ)|A|⌉+1 shingles) bounds that — not needed at current data.
+    """
+    sh = docs.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), n).alias("sh"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
     )
-    l, r = base.alias("l"), base.alias("r")
-    inter = F.size(F.array_intersect("l.sh", "r.sh"))
-    union = F.size("l.sh") + F.size("r.sh") - inter
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=["blk", "sh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    joined = (
+        inter.join(sz.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
+        .join(sz.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "b_sz"), "b_id")
+    )
+    union = F.col("a_sz") + F.col("b_sz") - F.col("n_common")
     return (
-        l.join(r, on="blk")
-        .where(F.col("l.id") < F.col("r.id"))
-        .withColumn(
-            "jaccard",
-            F.round(F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 4),
-        )
+        joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
         .where(F.col("jaccard") >= threshold)
-        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), "jaccard")
+        .select("a_id", "b_id", "jaccard")
     )
 
 

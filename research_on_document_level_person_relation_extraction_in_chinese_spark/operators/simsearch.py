@@ -83,3 +83,42 @@ def bucketed_ann_topk(
         .limit(k)
         .select(id_col, F.round(F.col("_cos"), 6).alias("cosine"))
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    sign_dims: int = 3,
+    max_id: int | None = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, driver mandate).
+
+    Blocked by the sign-bucket LSH (same buckets as ``bucketed_ann_topk``) so
+    the pairwise join is per-bucket, not all-pairs: at K buckets the
+    candidate count drops ~K×, and bucket id is a plain column → the join
+    shuffles on it and AQE splits any skewed bucket. ``max_id`` bounds the
+    demo subset; the scale path is the same plan without it.
+    """
+    base = emb
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    base = base.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("e"),
+        sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("_cos", cos)
+        .where(F.round(F.col("_cos"), 6) >= threshold)
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+    )
