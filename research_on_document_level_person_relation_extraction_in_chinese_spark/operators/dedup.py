@@ -122,19 +122,26 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .distinct()
     )
-    a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
-    b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
+    # exact-Jaccard verify via the inverted index: candidate pairs joined to
+    # the exploded shingle table twice and counted — no shingle ARRAYS ever
+    # shuffle to the pair side (candidates × |shingles| stays columnar rows)
+    sh_flat = base.select(F.col("id"), F.explode("sh").alias("s"))
+    a_sh = sh_flat.select(F.col("id").alias("a_id"), F.col("s"))
+    b_sh = sh_flat.select(F.col("id").alias("b_id"), F.col("s"))
+    n_common = (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = F.broadcast(base.select("id", F.size("sh").alias("n_sh")))
+    joined = (
+        n_common.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "b_sz"), "b_id")
+    )
+    union = F.col("a_sz") + F.col("b_sz") - F.col("n_common")
     return (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 4
-            ),
-        )
+        joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

@@ -44,6 +44,14 @@ def get_spark(
         # 128 MiB input splits — sane parquet scan granularity at any SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # whole-stage codegen emits one class per query; the JVM default
+        # 240 MB code cache fills after ~10 wide queries and the JIT stops
+        # compiling → interpreted generated code runs ~20× slower (measured:
+        # a 1 s aggregation became 37 s mid-benchmark)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:CICompilerCount=8",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
