@@ -66,3 +66,33 @@ def triples_to_entities(triples: DataFrame) -> DataFrame:
         triples.select("url", F.explode(F.array("subj", "obj")).alias("entity"))
         .distinct()
     )
+
+
+def kfold_prf(pred: DataFrame, gold: DataFrame, k: int = 5, keys: list[str] | None = None) -> dict:
+    """A5 — k-fold mean ± SEM of exact-match P/R/F1 (reference
+    ``evalute.py:230-234,257-280``; folds built like ``t5_finetune_fold.py``
+    but assigned by url-hash so the split is deterministic under any
+    partitioning). SEM uses sample std (ddof=1) like ``scipy.stats.sem``."""
+    import math
+
+    keys = keys or TRIPLE_KEYS
+    fold_col = F.pmod(F.xxhash64("url"), F.lit(k))
+    per_fold = []
+    for i in range(k):
+        res = exact_match_prf(
+            pred.where(fold_col == i), gold.where(fold_col == i), keys
+        )
+        per_fold.append(res)
+
+    def mean_sem(metric: str) -> dict:
+        vals = [f[metric] for f in per_fold]
+        mean = sum(vals) / k
+        var = sum((v - mean) ** 2 for v in vals) / (k - 1)
+        return {"mean": mean, "sem": math.sqrt(var / k)}
+
+    return {
+        "folds": per_fold,
+        "precision": mean_sem("precision"),
+        "recall": mean_sem("recall"),
+        "f1": mean_sem("f1"),
+    }

@@ -1,0 +1,57 @@
+"""Kill-and-rerun resumability (BASELINE target): a run interrupted after the
+consensus stage must resume from the surviving stage tables, recompute only
+downstream stages, and emit identical triples."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+    run_pipeline,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.catalog import (
+    StageCatalog,
+    resume_filter,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (
+    generate_corpus,
+)
+
+N = 200
+
+
+def test_resume_recomputes_only_missing_stage(spark, tmp_path):
+    docs = generate_corpus(spark, N, seed=42).cache()
+    root = str(tmp_path / "stages")
+    cat = StageCatalog(root)
+    full = run_pipeline(spark, docs, catalog=cat, with_metrics=False)
+    expected = sorted(map(tuple, full["triples"].collect()))
+    annotated_snapshot = cat.manifest("annotated")["snapshot_id"]
+
+    # simulate a crash that lost the expansion stage (and everything after)
+    shutil.rmtree(f"{root}/expanded")
+    (tmp_path / "stages" / "expanded.manifest.json").unlink()
+
+    resumed = run_pipeline(spark, docs, catalog=cat, resume=True, with_metrics=False)
+    assert sorted(map(tuple, resumed["triples"].collect())) == expected
+    # upstream stages were reused, not recomputed (snapshot ids unchanged)
+    assert cat.manifest("annotated")["snapshot_id"] == annotated_snapshot
+    # the recomputed stage re-links its lineage to the surviving consensus
+    assert cat.lineage("expanded")["inputs"][0]["snapshot_id"] == cat.manifest(
+        "consensus"
+    )["snapshot_id"]
+
+
+def test_document_level_resume_filter(spark, tmp_path):
+    """Per-partition/incremental resume: half-written stage output → only the
+    unprocessed urls remain (the reference's every-100-rows CSV flush,
+    as a distributed anti-join)."""
+    docs = generate_corpus(spark, N, seed=42).select("url")
+    cat = StageCatalog(str(tmp_path / "stages"))
+    half = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half.write.parquet(cat._path("annotated"))
+
+    remaining = resume_filter(docs, cat, "annotated")
+    assert remaining.count() == docs.count() - half.count()
+    assert remaining.join(half, "url", "inner").count() == 0
