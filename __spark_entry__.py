@@ -188,6 +188,56 @@ def q_nation_pairs(spark, sf_dir):
 # events: JSON scalar functions + window functions + sessionization
 # --------------------------------------------------------------------------
 
+def q_cube_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q_price_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join expressed as an ignore-nulls running window: for each
+    purchase, seconds since the same user's most recent prior click."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click", last_click)
+        .where((F.col("event_type") == "purchase") & F.col("last_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click")).alias("secs_since_click"),
+        )
+    )
+
+
 def q_events_json(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", '"k":\\s*(\\d+)', 1).cast("int")
@@ -389,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_discounts": q_monthly_discounts,
         "union_contacts": q_union_contacts,
         "nation_pairs": q_nation_pairs,
+        "cube_summary": q_cube_summary,
+        "pivot_status": q_pivot_status,
+        "price_percentiles": q_price_percentiles,
+        "asof_last_click": q_asof_last_click,
         "events_json": q_events_json,
         "user_sessions": q_user_sessions,
         "hourly_events": q_hourly_events,
@@ -552,6 +606,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.n_regionkey AS regionkey, a.n_name AS name_a, b.n_name AS name_b
             FROM nation a JOIN nation b
               ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        """,
+        "cube_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "price_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_last_click": """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) - floor(epoch(last_click)) AS BIGINT) AS secs_since_click
+            FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+                FROM events
+            )
+            WHERE event_type = 'purchase' AND last_click IS NOT NULL
         """,
         "events_json": """
             SELECT event_type,
