@@ -1,0 +1,73 @@
+"""Corpus diagnostics (SURVEY §2.5 W1, §2.6 F11): per-pair windowed
+co-occurrence context — does a labeled person pair co-occur inside one
+sentence, and what is the minimum character distance between the mentions?
+
+The reference runs this as an offline analysis
+(``CommonCrawl/data/test/cross_sentence.py:6-125``) to quantify how much
+relation evidence is cross-sentence; here it is a stage over the merged
+triples: explode pairs → one struct-returning pandas UDF computing
+(same_sentence, min_distance) per (doc, pair).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+from ..functions.analysis import min_char_distance, sentence_cooccurrence
+
+_COOCCUR_DT = StructType(
+    [
+        StructField("same_sentence", BooleanType()),
+        StructField("min_distance", IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_COOCCUR_DT)
+def _cooccur_udf(text: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t, a, b in zip(text, p1, p2):
+        t = t or ""
+        rows.append(
+            {
+                "same_sentence": sentence_cooccurrence(t, a, b),
+                "min_distance": min_char_distance(t, a, b),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def cross_sentence_stats(expanded: DataFrame, label_col: str = "merge_label") -> DataFrame:
+    """(url, subj, obj, rel, same_sentence, min_distance) per labeled pair."""
+    pairs = (
+        expanded.filter(F.size(label_col) > 0)
+        .select("url", "trad_text", F.explode(label_col).alias("t"))
+        .select("url", "trad_text", "t.subj", "t.obj", "t.rel")
+    )
+    stats = _cooccur_udf(F.col("trad_text"), F.col("subj"), F.col("obj"))
+    return (
+        pairs.withColumn("_s", stats)
+        .select(
+            "url",
+            "subj",
+            "obj",
+            "rel",
+            F.col("_s.same_sentence").alias("same_sentence"),
+            F.col("_s.min_distance").alias("min_distance"),
+        )
+    )
+
+
+def cross_sentence_summary(stats: DataFrame) -> DataFrame:
+    """Corpus-level rates (the reference's printed analysis, as a frame)."""
+    return stats.groupBy("rel").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.col("same_sentence").cast("double")), 4).alias("same_sentence_rate"),
+        F.round(F.avg(F.when(F.col("min_distance") >= 0, F.col("min_distance"))), 2).alias(
+            "avg_min_distance"
+        ),
+    )
