@@ -417,6 +417,39 @@ def q_kg_edges(spark, sf_dir):
     return edges.select("subj_id", "obj_id", "rel", "n_docs")
 
 
+def q_kg_ner_re_replay(spark, sf_dir):
+    """Entry point C (NER→RE decomposed replay): per-pair 5-way inference
+    over NER pairs, per-doc reassembly into `有 (..)` text, re-parse via the
+    tolerant F1 kernel (reference re_inference.py:27-80 + postprecess.py:338)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.re_replay import (
+        re_replay_stage,
+        replay_triples,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        expanded_frame,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    return replay_triples(re_replay_stage(expanded_frame(corpus)), model_name="mt5")
+
+
+def q_kg_generation_replay(spark, sf_dir):
+    """Entry point C (doc-level generation replay): one generation per doc,
+    same re-parse round-trip (reference inference.py:11-65,90-109)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.re_replay import (
+        generation_replay_stage,
+        replay_triples,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        expanded_frame,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    return replay_triples(
+        generation_replay_stage(expanded_frame(corpus)), model_name="gen"
+    )
+
+
 def q_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     feats = extract_features(attach_media(d), dims=8)
@@ -463,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
+        "kg_ner_re_replay": q_kg_ner_re_replay,
+        "kg_generation_replay": q_kg_generation_replay,
         "media_features": q_media_features,
     }
 
@@ -835,9 +870,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.4
         """,
-        # kg_triples / kg_nodes / kg_edges / media_features:
+        # kg_triples / kg_nodes / kg_edges / kg_ner_re_replay /
+        # kg_generation_replay / media_features:
         # non-SQL-expressible (deterministic scorer pipeline, iterative
         # connected components, Arrow binary plumbing) → rows-only check;
-        # their correctness gate is tests/test_pipeline_e2e.py (parity vs the
-        # reference-logic port) and tests/test_multimodal_streaming.py.
+        # their correctness gate is tests/test_pipeline_e2e.py +
+        # tests/test_re_replay.py (parity vs the reference-logic port) and
+        # tests/test_multimodal_streaming.py.
     }

@@ -132,6 +132,38 @@ def parse_ner_names(output: str) -> list[str]:
     return names
 
 
+#: Priority order of the single-pair answer check — the reference tests
+#: containment in exactly this order (``re_inference.py:82-98`` check_format):
+#: 同事 → 親屬 → 師生 → 其他 → 沒有.
+_SINGLE_CLASS_PRIORITY = ("同事", "親屬", "師生", "其他", "沒有")
+
+
+def parse_single_class(output: str) -> str | None:
+    """F5 single-pair variant (M10) — priority-ordered substring containment
+    over the 5 class words; ``None`` when no class word occurs (the reference
+    retries, then silently skips the pair — ``re_inference.py:50-66,82-98``).
+    """
+    text = output or ""
+    for cls in _SINGLE_CLASS_PRIORITY:
+        if cls in text:
+            return cls
+    return None
+
+
+def assemble_relation_answer(
+    triples: list[tuple[str, str, str]],
+) -> tuple[str, str]:
+    """M10 reassembly — per-doc pair predictions back into detection-schema
+    answer text so predictions round-trip through the same F1 parse
+    (reference ``re_inference.py:67-79``): ``有 ('p1', 'p2', 'rel'), ...``
+    (Python ``str(tuple)`` form — the tolerant parse strips the quotes) or
+    ``無``. Returns ``(has_relation, output)``."""
+    if not triples:
+        return NO_RELATION, NO_RELATION
+    body = ", ".join(str((p1, p2, rel)) for p1, p2, rel in triples)
+    return HAS_RELATION, HAS_RELATION + " " + body
+
+
 def parse_verdicts(output: str, expected: int) -> list[bool] | None:
     """F4 — numbered 正確/錯誤 verdicts; fallback to unnumbered; ``None`` when
     the count mismatches ``expected`` (→ sentinel ``驗證過程有誤``)

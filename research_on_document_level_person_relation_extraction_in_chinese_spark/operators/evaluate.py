@@ -68,6 +68,20 @@ def triples_to_entities(triples: DataFrame) -> DataFrame:
     )
 
 
+def evaluate_re_micro(pairs: DataFrame, pred_col: str, actual_col: str) -> dict:
+    """Micro-averaged RE classification score over single-label pair rows
+    (reference ``evalute.py:200-218`` ``evalute_re`` — sklearn micro
+    precision/recall/F1 on two label columns; for single-label data micro
+    P = R = F1 = accuracy). One aggregation, no driver-side data."""
+    row = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col(pred_col) == F.col(actual_col)).cast("int")).alias("n_correct"),
+    ).collect()[0]
+    n, correct = int(row["n"]), int(row["n_correct"] or 0)
+    acc = correct / n if n else 0.0
+    return {"n": n, "n_correct": correct, "precision": acc, "recall": acc, "f1": acc}
+
+
 def kfold_prf(pred: DataFrame, gold: DataFrame, k: int = 5, keys: list[str] | None = None) -> dict:
     """A5 — k-fold mean ± SEM of exact-match P/R/F1 (reference
     ``evalute.py:230-234,257-280``; folds built like ``t5_finetune_fold.py``

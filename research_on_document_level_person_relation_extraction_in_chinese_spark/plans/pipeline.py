@@ -28,7 +28,9 @@ from ..operators.taxonomy import build_taxonomy, remap_relations
 from ..sources.catalog import StageCatalog
 
 
-def _expanded_frame(docs: DataFrame, scorer: str, cache: bool = True) -> DataFrame:
+def expanded_frame(docs: DataFrame, scorer: str = "deterministic", cache: bool = True) -> DataFrame:
+    """zh docs → fully expanded document frame (annotate → parse → taxonomy →
+    consensus → expansion → merge labels), uncheckpointed."""
     zh = docs.filter(F.col("lang") == "zh").select("url", "text")
     parsed = annotate_parse_stage(zh, scorer=scorer)
     if cache:
@@ -56,7 +58,7 @@ def triples_from_expanded(expanded: DataFrame) -> DataFrame:
 
 def extract_triples(docs: DataFrame, scorer: str = "deterministic") -> DataFrame:
     """Flagship query: all person-relation triples in the corpus."""
-    return triples_from_expanded(_expanded_frame(docs, scorer))
+    return triples_from_expanded(expanded_frame(docs, scorer))
 
 
 def run_pipeline(

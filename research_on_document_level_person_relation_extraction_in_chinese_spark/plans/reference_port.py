@@ -22,14 +22,17 @@ from ..functions.parse import (
     parse_triples,
     parse_verdicts,
 )
+from ..operators.re_replay import replay_one_doc
 from ..scorers import get_scorer
 
 
 def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict[str, list]:
     """docs: [{url, text, lang}] → {"merge": [(url,subj,obj,rel)...],
-    "merge_1024": [...], "consensus": [...]} — the reference's emitted sets."""
+    "merge_1024": [...], "consensus": [...], "re_replay": [...],
+    "gen_replay": [...]} — the reference's emitted sets (entry points B + C)."""
     mod = get_scorer(scorer)
     merge_rows, merge_1024_rows, consensus_rows = [], [], []
+    replay_rows, gen_rows = [], []
 
     for doc in docs:
         if doc["lang"] != "zh":
@@ -129,13 +132,29 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
                 pair_seen.add((s, o))
 
         head = trad_text[:1024]
+        merged_1024 = []
         for s, o, r in merged:
             merge_rows.append((url, s, o, r))
             if s in head and o in head:
                 merge_1024_rows.append((url, s, o, r))
+                merged_1024.append((s, o, r))
+
+        # --- entry point C replay (re_inference.py → postprecess extractor;
+        # inference gate = non-empty merge_label_1024, re_inference.py:117) ---
+        if merged_1024:
+            rp = replay_one_doc(mod, trad_text, entities, max_length=1024)
+            triples, _, _, err = parse_triples(rp["output"], tolerant=True)
+            if rp["has_relation"] == HAS_RELATION and not err:
+                replay_rows.extend((url, s, o, r) for s, o, r in triples)
+            gen_out = mod.score_generate(text[:1024])
+            gtriples, _, _, gerr = parse_triples(gen_out, tolerant=True)
+            if gen_out.startswith(HAS_RELATION) and not gerr:
+                gen_rows.extend((url, s, o, r) for s, o, r in gtriples)
 
     return {
         "merge": merge_rows,
         "merge_1024": merge_1024_rows,
         "consensus": consensus_rows,
+        "re_replay": replay_rows,
+        "gen_replay": gen_rows,
     }

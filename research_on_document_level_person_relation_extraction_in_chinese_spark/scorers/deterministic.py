@@ -119,6 +119,63 @@ def score_expansion_pairs(text: str, pairs: list[tuple[str, str]]) -> str:
     return " ".join(answers)
 
 
+MAX_RE_CHARS = 1024  # reference re_inference.py:119 / inference.py max_length
+
+
+def score_re_pair(text: str, p1: str, p2: str) -> str:
+    """One (doc, pair) → single 5-class answer text (M10, the fine-tuned
+    mT5 per-pair RE model — reference ``re_inference.py:27-80``).
+
+    The fine-tuned model trained on class-valued merge labels recognizes
+    every template family including expansion-only ones. Deterministic noise:
+    ~1% of pairs answer without any class word (exercises the 2-try retry →
+    silent-skip path, ``re_inference.py:50-66``); ~8% answer verbosely with
+    the class word embedded in a sentence (exercises the priority substring
+    check, ``re_inference.py:82-98``).
+    """
+    doc = text[:MAX_RE_CHARS]
+    if _bucket(doc, f"re:skip:{p1}|{p2}", 97) == 0:
+        return "無法判斷這兩人的關聯"  # no class word → retry → skip
+    pair_cls: dict[tuple[str, str], str] = {}
+    for a, b, raw, _tid in find_instances(doc, include_expansion_only=True):
+        if a == b:
+            continue
+        pair_cls.setdefault(tuple(sorted([a, b])), classify_relation(raw))
+    cls = pair_cls.get(tuple(sorted([p1, p2])), "沒有")
+    if _bucket(doc, f"re:verbose:{p1}|{p2}", 13) == 0:
+        return f"兩人之間的關係是{cls}關係"
+    return cls
+
+
+def score_generate(text: str) -> str:
+    """One doc → detection-schema triples text from the doc-level generation
+    model (M11, reference ``inference.py:11-65``; models ``mt5.py:16-41``).
+
+    Trained on class-valued merge labels, so it emits the 4-class relation
+    directly (unlike the API detect scorers' free-text relation words).
+    ~0.7% of docs answer with a malformed 2-tuple to exercise the
+    format-check retry/skip path (``inference.py:67-89``).
+    """
+    doc = text[:MAX_RE_CHARS]
+    triples: list[tuple[str, str, str]] = []
+    seen: set[tuple[str, str, str]] = set()
+    for a, b, raw, _tid in find_instances(doc, include_expansion_only=True):
+        ta, tb = s2t(a), s2t(b)
+        if ta == tb:
+            continue
+        lo, hi = sorted([ta, tb])
+        key = (lo, hi, classify_relation(raw))
+        if key not in seen:
+            seen.add(key)
+            triples.append(key)
+    if not triples:
+        return NO_RELATION
+    if _bucket(doc, "gen:malformed", 151) == 0:
+        return HAS_RELATION + f" ({triples[0][0]},{triples[0][1]})"
+    body = ",".join(f"({s},{o},{r})" for s, o, r in triples)
+    return HAS_RELATION + " " + body
+
+
 def score_ner(text: str) -> list[str]:
     """Person mentions of one doc (M7/M8 replacement) — surface forms
     including simplified spellings and title-suffixed aliases."""

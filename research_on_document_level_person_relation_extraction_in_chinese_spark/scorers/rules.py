@@ -52,6 +52,16 @@ SIMPLIFIED = {
 #: surface form; linking strips the title and merges into the canonical node.
 TITLES = ["博士", "教授", "先生", "老師"]
 
+
+def strip_title(name: str) -> str:
+    """Pure-Python twin of ``operators.linking.normalize_mention`` (one
+    trailing title suffix stripped) — shared by the replay pair generator and
+    the parity oracle so all mention normalizers agree."""
+    for t in TITLES:
+        if name.endswith(t) and len(name) > len(t):
+            return name[: -len(t)]
+    return name
+
 ALL_NAME_FORMS = sorted(
     set(CAST) | set(SIMPLIFIED.values()),
     key=len,

@@ -61,4 +61,11 @@ def test_oracle_match(spark, duck, name):
 def test_every_query_listed_or_flagged():
     no_oracle = set(QUERIES) - set(ORACLES)
     # only the documented non-SQL-expressible ops may lack an oracle
-    assert no_oracle <= {"kg_triples", "kg_nodes", "kg_edges", "media_features"}, no_oracle
+    assert no_oracle <= {
+        "kg_triples",
+        "kg_nodes",
+        "kg_edges",
+        "kg_ner_re_replay",
+        "kg_generation_replay",
+        "media_features",
+    }, no_oracle

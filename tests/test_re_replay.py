@@ -1,0 +1,162 @@
+"""Entry point C — fine-tuned replay round-trip (SURVEY §3.3): per-pair RE
+inference → `有 (..)` reassembly → F1 re-parse → evaluation, plus the
+doc-level generation variant, gated by exact parity vs the reference-logic
+port and round-trip P/R vs the golden merge_label_1024 set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_on_document_level_person_relation_extraction_in_chinese_spark.functions.parse import (
+    assemble_relation_answer,
+    parse_single_class,
+    parse_triples,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.evaluate import (
+    evaluate_re_micro,
+    evaluate_triples,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.re_replay import (
+    generation_replay_stage,
+    re_replay_stage,
+    replay_triples,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+    expanded_frame,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.reference_port import (
+    run_reference_logic,
+)
+from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (
+    generate_corpus,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_corpus(spark, N, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def expanded(spark, docs):
+    return expanded_frame(docs, "deterministic").cache()
+
+
+@pytest.fixture(scope="module")
+def ref(docs):
+    rows = docs.select("url", "text", "lang").collect()
+    return run_reference_logic([r.asDict() for r in rows])
+
+
+def _golden_1024(expanded):
+    return (
+        expanded.filter(F.size("merge_label_1024") > 0)
+        .select("url", F.explode("merge_label_1024").alias("t"))
+        .select("url", "t.subj", "t.obj", "t.rel")
+        .distinct()
+    )
+
+
+# --- kernel unit tests -------------------------------------------------------
+
+def test_parse_single_class_priority():
+    # reference check_format tests containment in order 同事→親屬→師生→其他→沒有
+    assert parse_single_class("同事") == "同事"
+    assert parse_single_class("兩人是親屬也是同事") == "同事"
+    assert parse_single_class("這是一段師生情誼") == "師生"
+    assert parse_single_class("沒有任何關係") == "沒有"
+    assert parse_single_class("無法判斷") is None
+    assert parse_single_class("") is None
+    assert parse_single_class(None) is None
+
+
+def test_assemble_round_trips_through_f1():
+    triples = [("張三", "李四", "同事"), ("王五", "趙六", "親屬")]
+    status, output = assemble_relation_answer(triples)
+    assert status == "有"
+    assert output == "有 ('張三', '李四', '同事'), ('王五', '趙六', '親屬')"
+    parsed, _, _, err = parse_triples(output, tolerant=True)
+    assert not err
+    assert parsed == triples  # pairs already sorted → canonical form preserved
+    status, output = assemble_relation_answer([])
+    assert (status, output) == ("無", "無")
+
+
+# --- Spark ↔ reference-port parity (the hard gate) ---------------------------
+
+def test_re_replay_parity_vs_port(spark, expanded, ref):
+    got = {
+        tuple(r)
+        for r in replay_triples(re_replay_stage(expanded), "mt5").collect()
+    }
+    want = set(ref["re_replay"])
+    assert got == want, (
+        f"spark-only={sorted(got - want)[:5]} port-only={sorted(want - got)[:5]}"
+    )
+    assert len(want) > 50  # non-degenerate
+
+
+def test_generation_replay_parity_vs_port(spark, expanded, ref):
+    got = {
+        tuple(r)
+        for r in replay_triples(
+            generation_replay_stage(expanded), "gen"
+        ).collect()
+    }
+    want = set(ref["gen_replay"])
+    assert got == want, (
+        f"spark-only={sorted(got - want)[:5]} port-only={sorted(want - got)[:5]}"
+    )
+    assert len(want) > 50
+
+
+# --- round-trip accuracy vs golden -------------------------------------------
+
+def test_re_replay_roundtrip_prf(spark, expanded):
+    pred = replay_triples(re_replay_stage(expanded), "mt5")
+    gold = _golden_1024(expanded)
+    res = evaluate_triples(pred, gold)
+    print("re replay vs merge_label_1024:", res)
+    # deterministic noise (pair-skip 1/97, miscount 1/251) + the reference's
+    # own 4000-vs-1024 training/inference truncation mismatch bound this
+    # below 1.0; the BASELINE gate is ≥0.95
+    assert res["precision"] >= 0.95, res
+    assert res["recall"] >= 0.95, res
+
+
+def test_generation_replay_roundtrip_prf(spark, expanded):
+    pred = replay_triples(generation_replay_stage(expanded), "gen")
+    gold = _golden_1024(expanded)
+    res = evaluate_triples(pred, gold)
+    print("generation replay vs merge_label_1024:", res)
+    assert res["precision"] >= 0.95, res
+    assert res["recall"] >= 0.95, res
+
+
+def test_replay_status_columns(spark, expanded):
+    replayed = re_replay_stage(expanded).select(
+        "mt5_has_relation", "mt5_pairs_scored", "mt5_pairs_skipped"
+    )
+    agg = replayed.agg(
+        F.sum("mt5_pairs_scored").alias("scored"),
+        F.sum("mt5_pairs_skipped").alias("skipped"),
+        F.sum((F.col("mt5_has_relation") == "有").cast("int")).alias("pos"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["scored"] > 0 and agg["pos"] > 0
+    # the 1/97 skip-noise path fires but stays rare
+    assert 0 < agg["skipped"] < agg["scored"] * 0.1
+
+
+# --- micro-averaged RE accuracy (reference evalute_re) ------------------------
+
+def test_evaluate_re_micro_fixture(spark):
+    df = spark.createDataFrame(
+        [("a", "同事", "同事"), ("b", "親屬", "沒有"), ("c", "沒有", "沒有"),
+         ("d", "師生", "師生")],
+        "pair_id string, pred string, actual string",
+    )
+    res = evaluate_re_micro(df, "pred", "actual")
+    assert res["n"] == 4 and res["n_correct"] == 3
+    assert res["precision"] == res["recall"] == res["f1"] == 0.75
