@@ -450,6 +450,23 @@ def q_kg_generation_replay(spark, sf_dir):
     )
 
 
+def q_kg_union_expansion(spark, sf_dir):
+    """Dual-NER union golden (reference README.md cols 29-31): CKIP + LLM NER
+    entity union → expansion → union_expansion_merge_label_1024 triples."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        expanded_frame,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    exp = expanded_frame(corpus, ner_sources=("ckip", "gemini", "union"))
+    return (
+        exp.filter(F.size("union_expansion_merge_label_1024") > 0)
+        .select("url", F.explode("union_expansion_merge_label_1024").alias("t"))
+        .select("url", "t.subj", "t.obj", "t.rel")
+        .distinct()
+    )
+
+
 def q_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     feats = extract_features(attach_media(d), dims=8)
@@ -498,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_ner_re_replay": q_kg_ner_re_replay,
         "kg_generation_replay": q_kg_generation_replay,
+        "kg_union_expansion": q_kg_union_expansion,
         "media_features": q_media_features,
     }
 

@@ -28,9 +28,16 @@ from ..operators.taxonomy import build_taxonomy, remap_relations
 from ..sources.catalog import StageCatalog
 
 
-def expanded_frame(docs: DataFrame, scorer: str = "deterministic", cache: bool = True) -> DataFrame:
+def expanded_frame(
+    docs: DataFrame,
+    scorer: str = "deterministic",
+    cache: bool = True,
+    ner_sources: tuple[str, ...] = ("ckip",),
+) -> DataFrame:
     """zh docs → fully expanded document frame (annotate → parse → taxonomy →
-    consensus → expansion → merge labels), uncheckpointed."""
+    consensus → expansion → merge labels), uncheckpointed. ``ner_sources``
+    selects the expansion NER variants (ckip / gemini / union golden column
+    families — reference README.md cols 20–31)."""
     zh = docs.filter(F.col("lang") == "zh").select("url", "text")
     parsed = annotate_parse_stage(zh, scorer=scorer)
     if cache:
@@ -43,7 +50,7 @@ def expanded_frame(docs: DataFrame, scorer: str = "deterministic", cache: bool =
     remapped = remap_relations(parsed, taxonomy)
     cons = fused_consensus_stage(remapped, scorer=scorer)
     cons_docs = cons.filter(F.size("consensus_label") > 0)
-    return expansion_stage(cons_docs, scorer=scorer)
+    return expansion_stage(cons_docs, scorer=scorer, ner_sources=ner_sources)
 
 
 def triples_from_expanded(expanded: DataFrame) -> DataFrame:

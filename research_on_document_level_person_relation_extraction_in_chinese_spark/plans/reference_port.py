@@ -14,14 +14,13 @@ union_label → ckip expansion (find_re → merge_label → truncation_label).
 
 from __future__ import annotations
 
-from ..functions.analysis import expansion_pairs
 from ..functions.chinese import s2t
 from ..functions.parse import (
     HAS_RELATION,
-    parse_five_class_answers,
     parse_triples,
     parse_verdicts,
 )
+from ..operators.expansion import expand_one_source, source_entities
 from ..operators.re_replay import replay_one_doc
 from ..scorers import get_scorer
 
@@ -32,6 +31,8 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
     "gen_replay": [...]} — the reference's emitted sets (entry points B + C)."""
     mod = get_scorer(scorer)
     merge_rows, merge_1024_rows, consensus_rows = [], [], []
+    gemini_merge_rows, gemini_merge_1024_rows = [], []
+    union_merge_rows, union_merge_1024_rows = [], []
     replay_rows, gen_rows = [], []
 
     for doc in docs:
@@ -103,41 +104,49 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
             continue
         consensus_rows.extend((url, s, o, r) for s, o, r in consensus)
 
-        # --- expansion (ckip_expansion.py: find_re + merge + truncation) ---
+        # --- expansion (ckip/gemini/union: find_re + merge + truncation;
+        # shared per-doc helpers from operators/expansion.py) ---
         trad_text = s2t(text)
-        entities = mod.score_ner(trad_text)
         already = {
             (s, o) for t in (trad["gemini"] or []) + (trad["gpt"] or []) for s, o in [(t[0], t[1])]
         }
-        density, extra = expansion_pairs(entities, already, trad_text)
-        expansion = []
-        if density == "middle" and extra:
-            answer = mod.score_expansion_pairs(trad_text, extra)
-            classes = parse_five_class_answers(answer, len(extra))
-            if classes is not None:
-                expansion = [
-                    (a, b, cls) for (a, b), cls in zip(extra, classes) if cls != "沒有"
-                ]
-        if density == "high":
-            continue  # dropped from golden merge (merge_label :165-166)
-
-        merged, pair_seen = [], set()
-        for s, o, r in consensus:
-            if s in trad_text and o in trad_text:  # hallucination filter
-                merged.append((s, o, r))
-                pair_seen.add((s, o))
-        for s, o, r in expansion:
-            if (s, o) not in pair_seen:
-                merged.append((s, o, r))
-                pair_seen.add((s, o))
-
         head = trad_text[:1024]
+        cache: dict = {}
+        merged_by_src: dict[str, list] = {}
+        for src in ("ckip", "gemini", "union"):
+            ents = source_entities(mod, trad_text, src, cache)
+            res = expand_one_source(mod, trad_text, already, ents)
+            expansion = [
+                (t["subj"], t["obj"], t["rel"]) for t in res["expansion_ternary"]
+            ]
+            merged: list = []
+            if res["density"] != "high":  # high → dropped (merge_label :165-166)
+                pair_seen = set()
+                for s, o, r in consensus:
+                    if s in trad_text and o in trad_text:  # hallucination filter
+                        merged.append((s, o, r))
+                        pair_seen.add((s, o))
+                for s, o, r in expansion:
+                    if (s, o) not in pair_seen:
+                        merged.append((s, o, r))
+                        pair_seen.add((s, o))
+            merged_by_src[src] = merged
+
+        entities = cache["ckip"]
         merged_1024 = []
-        for s, o, r in merged:
+        for s, o, r in merged_by_src["ckip"]:
             merge_rows.append((url, s, o, r))
             if s in head and o in head:
                 merge_1024_rows.append((url, s, o, r))
                 merged_1024.append((s, o, r))
+        for src, rows_full, rows_1024 in (
+            ("gemini", gemini_merge_rows, gemini_merge_1024_rows),
+            ("union", union_merge_rows, union_merge_1024_rows),
+        ):
+            for s, o, r in merged_by_src[src]:
+                rows_full.append((url, s, o, r))
+                if s in head and o in head:
+                    rows_1024.append((url, s, o, r))
 
         # --- entry point C replay (re_inference.py → postprecess extractor;
         # inference gate = non-empty merge_label_1024, re_inference.py:117) ---
@@ -155,6 +164,10 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
         "merge": merge_rows,
         "merge_1024": merge_1024_rows,
         "consensus": consensus_rows,
+        "gemini_merge": gemini_merge_rows,
+        "gemini_merge_1024": gemini_merge_1024_rows,
+        "union_merge": union_merge_rows,
+        "union_merge_1024": union_merge_1024_rows,
         "re_replay": replay_rows,
         "gen_replay": gen_rows,
     }

@@ -26,7 +26,13 @@ from ..functions.parse import (
     STATUS_RETRY,
     STATUS_UNRECOGNIZED,
 )
-from .rules import classify_relation, find_instances, find_person_mentions
+from .rules import (
+    CAST,
+    classify_relation,
+    find_instances,
+    find_person_mentions,
+    strip_title,
+)
 
 #: detect-scorer blindness per annotator: gpt misses two template families so
 #: the cross-comparison / verification stages have real work to do (the
@@ -180,6 +186,30 @@ def score_ner(text: str) -> list[str]:
     """Person mentions of one doc (M7/M8 replacement) — surface forms
     including simplified spellings and title-suffixed aliases."""
     return find_person_mentions(text[:MAX_DETECT_CHARS])
+
+
+def score_ner_llm(text: str) -> list[str]:
+    """LLM person-NER (M8, the second NER source — reference
+    ``sota_ner/gemini_expansion.py:198-223`` llm_ner: comma-split answer,
+    set semantics). Behavior differs from the CKIP path (``score_ner``):
+    canonical (title-free) names only, plus deterministic noise — ~8% of
+    docs drop the last-found name (LLM recall miss; motivates the union
+    variant) and ~3% hallucinate a cast name absent from the doc (filtered
+    downstream by the containment check; the reference's overlap audit
+    counts exactly these, ``gemini_expansion.py:243-277``)."""
+    doc = text[:MAX_DETECT_CHARS]
+    names: list[str] = []
+    for m in find_person_mentions(doc):
+        c = strip_title(m)
+        if c not in names:
+            names.append(c)
+    if names and _bucket(doc, "llmner:drop", 13) == 0:
+        names = names[:-1]
+    if _bucket(doc, "llmner:halluc", 31) == 0:
+        extra = CAST[_bucket(doc, "llmner:pick", 1_000_003) % len(CAST)]
+        if extra not in doc and extra not in names:
+            names.append(extra)
+    return names
 
 
 def score_taxonomy(raw_relations: list[str]) -> dict[str, str]:

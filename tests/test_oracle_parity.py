@@ -67,5 +67,6 @@ def test_every_query_listed_or_flagged():
         "kg_edges",
         "kg_ner_re_replay",
         "kg_generation_replay",
+        "kg_union_expansion",
         "media_features",
     }, no_oracle
