@@ -35,29 +35,36 @@ from ..functions.parse import parse_verdicts
 from ..scorers import get_scorer
 from .parse import PARSED_DT, TERNARY_DT, _parse_cell
 
-_ANNOTATE_PARSE_DT = StructType(
-    [
-        StructField(f"{ann}_{part}", typ)
-        for ann in ("gemini", "gpt")
-        for part, typ in (
-            ("has_relation", StringType()),
-            ("output", StringType()),
-            ("parsed", PARSED_DT),
-        )
-    ]
-)
+def _annotate_parse_dt(annotators: tuple[str, ...]) -> StructType:
+    return StructType(
+        [
+            StructField(f"{ann}_{part}", typ)
+            for ann in annotators
+            for part, typ in (
+                ("has_relation", StringType()),
+                ("output", StringType()),
+                ("parsed", PARSED_DT),
+            )
+        ]
+    )
 
 
-def make_annotate_parse_udf(scorer: str = "deterministic", tolerant: bool = True):
-    """Node 1: both annotators scored AND parsed in one Arrow crossing."""
+def make_annotate_parse_udf(
+    scorer: str = "deterministic",
+    tolerant: bool = True,
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+):
+    """Node 1: all requested annotators scored AND parsed in one Arrow
+    crossing (2 by default; M3 ``taide`` / M4 ``fewshot`` variants compose a
+    3+-annotator shape)."""
     mod = get_scorer(scorer)
 
-    @pandas_udf(_ANNOTATE_PARSE_DT)
+    @pandas_udf(_annotate_parse_dt(annotators))
     def annotate_parse_udf(text: pd.Series) -> pd.DataFrame:
         rows = []
         for t in text:
             row = {}
-            for ann in ("gemini", "gpt"):
+            for ann in annotators:
                 status, output = mod.score_detect(t, ann)
                 row[f"{ann}_has_relation"] = status
                 row[f"{ann}_output"] = output
@@ -68,10 +75,15 @@ def make_annotate_parse_udf(scorer: str = "deterministic", tolerant: bool = True
     return annotate_parse_udf
 
 
-def annotate_parse_stage(docs: DataFrame, scorer: str = "deterministic", tolerant: bool = True) -> DataFrame:
-    udf = make_annotate_parse_udf(scorer, tolerant)
+def annotate_parse_stage(
+    docs: DataFrame,
+    scorer: str = "deterministic",
+    tolerant: bool = True,
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+) -> DataFrame:
+    udf = make_annotate_parse_udf(scorer, tolerant, annotators)
     df = docs.withColumn("_ap", udf(F.col("text")))
-    for ann in ("gemini", "gpt"):
+    for ann in annotators:
         df = df.withColumn(f"{ann}_has_relation", F.col(f"_ap.{ann}_has_relation"))
         df = df.withColumn(f"{ann}_output", F.col(f"_ap.{ann}_output"))
         for field in ("ternary", "relations", "entities", "parse_error"):

@@ -37,12 +37,17 @@ from .rules import (
 #: detect-scorer blindness per annotator: gpt misses two template families so
 #: the cross-comparison / verification stages have real work to do (the
 #: reference's two annotators genuinely disagreed; deck 20240510 slide 8).
+#: taide (M3, a weaker 7B-class model) misses more; fewshot (M4) trades one
+#: blind spot for the exemplar's guidance.
 BLIND_TIDS = {
     "gemini": frozenset(),
     "gpt": frozenset({"tea_follow", "oth_friend"}),
+    "taide": frozenset({"tea_follow", "oth_friend", "oth_meet", "col_research"}),
+    "fewshot": frozenset({"oth_meet"}),
 }
 
 MAX_DETECT_CHARS = 4000  # reference multi_thread_gemini_api.py:107-109
+MAX_TAIDE_CHARS = 2000  # reference taideAPI.py:39-40
 
 
 def _bucket(text: str, salt: str, mod: int) -> int:
@@ -55,7 +60,14 @@ def score_detect(text: str, annotator: str) -> tuple[str, str]:
 
     Statuses replicate the reference's terminal states
     (``multi_thread_gemini_api.py:186-195``): 有 / 無 / 請重新嘗試 / 無法識別.
+    Annotators ``taide`` (M3) and ``fewshot`` (M4) dispatch to their prompt
+    variants; ``gemini``/``gpt`` are the standard detection schema
+    (prompts.DETECT_PROMPT).
     """
+    if annotator == "taide":
+        return score_detect_taide(text)
+    if annotator == "fewshot":
+        return score_detect_fewshot(text)
     doc = text[:MAX_DETECT_CHARS]
     # rare deterministic API-failure statuses (≈1%)
     b = _bucket(doc, annotator + ":status", 199)
@@ -123,6 +135,44 @@ def score_expansion_pairs(text: str, pairs: list[tuple[str, str]]) -> str:
     if len(answers) > 1 and _bucket(doc, "exp:miscount", 251) == 0:
         answers = answers[:-1]
     return " ".join(answers)
+
+
+def score_detect_taide(text: str) -> tuple[str, str]:
+    """M3 — TAIDE API detection (reference ``taideAPI.py:27-110``):
+    2000-char truncation, 20-token answers (triples never survive the token
+    budget — only the 有/無 signal is usable), status derived by the
+    reference's containment rules (``taideAPI.py:98-107``: 無/沒有親屬 → 無;
+    有 without 沒 → 有; else 無法識別)."""
+    doc = text[:MAX_TAIDE_CHARS]
+    if _bucket(doc, "taide:status", 149) == 0:
+        return STATUS_UNRECOGNIZED, "這篇文章主要在描述"  # off-format answer
+    instances = find_instances(doc, blind_tids=BLIND_TIDS["taide"])
+    if not instances:
+        return NO_RELATION, NO_RELATION
+    p1, p2, rel, _ = instances[0]
+    answer = f"{HAS_RELATION} ({p1},{p2},{rel})"[:20]  # max_tokens≈20 cut
+    return HAS_RELATION, answer
+
+
+def score_detect_fewshot(text: str) -> tuple[str, str]:
+    """M4 — one-shot detection (reference ``few_shot_gemini_api.py:89-225``):
+    single try, answers carry the ``Relations:`` prefix and an
+    ``Explanation:`` line (prompts.DETECT_PROMPT_FEWSHOT schema); the F1
+    parse kernel consumes them unchanged (the regex scopes to ``(...)``
+    groups)."""
+    doc = text[:MAX_DETECT_CHARS]
+    if _bucket(doc, "fewshot:status", 199) == 0:
+        return STATUS_RETRY, ""
+    instances = find_instances(doc, blind_tids=BLIND_TIDS["fewshot"])
+    if not instances:
+        return NO_RELATION, "Relations:" + NO_RELATION
+    parts = ",".join(f"({p1},{p2},{rel})" for p1, p2, rel, _ in instances)
+    first = instances[0]
+    return (
+        HAS_RELATION,
+        f"Relations:{HAS_RELATION} {parts}\n"
+        f"Explanation:文章中提到{first[0]}與{first[1]}的{first[2]}關係",
+    )
 
 
 MAX_RE_CHARS = 1024  # reference re_inference.py:119 / inference.py max_length
