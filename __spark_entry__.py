@@ -349,6 +349,30 @@ def q_hash_sample(spark, sf_dir):
     return d.where(bucket == 0).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+def q_balanced_sample(spark, sf_dir):
+    """P7 — class-balanced deterministic sample: all positives + the first
+    n_pos negatives in md5-hash order (distributed exact rank, no global
+    sort — operators/training.py:hash_balanced_sample)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.training import (
+        hash_balanced_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    bal = hash_balanced_sample(
+        o, F.col("o_totalprice") > 400000, key="o_orderkey", seed="22"
+    )
+    return (
+        bal.withColumn(
+            "cls", F.when(F.col("o_totalprice") > 400000, "pos").otherwise("neg")
+        )
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def q_cooccur_distance(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pa, pb = F.locate("spark", F.col("text")), F.locate("query", F.col("text"))
@@ -506,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "hash_sample": q_hash_sample,
+        "balanced_sample": q_balanced_sample,
         "cooccur_distance": q_cooccur_distance,
         "embedding_topk": q_embedding_topk,
         "ann_bucket_topk": q_ann_bucket_topk,
@@ -823,6 +848,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
                          JOIN sizes sb ON sb.doc_id = i.b_id
             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.5
+        """,
+        "balanced_sample": """
+            WITH neg AS (
+                SELECT o_totalprice,
+                       row_number() OVER (
+                           ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':22'), 1, 15) AS BIGINT),
+                                    o_orderkey) AS rk
+                FROM orders WHERE NOT (o_totalprice > 400000)
+            ),
+            n_pos AS (SELECT count(*) AS n FROM orders WHERE o_totalprice > 400000),
+            bal AS (
+                SELECT 'pos' AS cls, o_totalprice FROM orders WHERE o_totalprice > 400000
+                UNION ALL
+                SELECT 'neg', o_totalprice FROM neg WHERE rk <= (SELECT n FROM n_pos)
+            )
+            SELECT cls, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+            FROM bal GROUP BY cls
         """,
         "hash_sample": """
             SELECT lang, count(*) AS n_docs

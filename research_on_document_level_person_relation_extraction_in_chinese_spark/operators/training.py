@@ -101,3 +101,89 @@ def train_valid_split(df: DataFrame, valid_fraction: float = 0.1, key: str = "ur
     buckets = max(int(round(1 / valid_fraction)), 2)
     is_valid = F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)) == 0
     return df.where(~is_valid), df.where(is_valid)
+
+
+def _md5_rank_hash(key, seed: str):
+    """Deterministic 60-bit rank hash — md5-derived so the DuckDB oracle
+    reproduces it bit-for-bit (same recipe as operators/dedup.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_balanced_sample(
+    df: DataFrame,
+    is_positive,
+    key: str,
+    seed: str = "22",
+    range_shift: int = 52,
+) -> DataFrame:
+    """P7 — all positives + an equal-count deterministic sample of negatives
+    (reference: class-balanced train set, deck 20240412 slide 9
+    20,583 pos + 20,583 sampled neg; ``t5_finetune_re.py`` builds the
+    negatives, the balance sample picks among them).
+
+    The sample is the first ``n_pos`` negatives in global ``(hash(key), key)``
+    order — reproducible under any partitioning (the reference's pandas
+    ``sample(random_state=22)`` is machine-local). Scale shape: NO global
+    sort — the rank is computed two-phase: (1) range-bucket on the top hash
+    bits (monotone in the hash, so per-bucket order concatenates to global
+    order), (2) per-bucket counts (≤256 scalars to the driver) become rank
+    offsets, (3) a window rank WITHIN each bucket + offset gives the exact
+    global rank. The only wide op is the bucketed window — one shuffle on a
+    uniform key.
+    """
+    pos = df.where(is_positive)
+    neg = df.where(~is_positive)
+    n_pos = pos.count()
+
+    h = _md5_rank_hash(key, seed)
+    bucketed = neg.withColumn("_h", h).withColumn(
+        "_bk", F.shiftright(F.col("_h"), range_shift)
+    )
+    counts = {
+        r["_bk"]: r["n"]
+        for r in bucketed.groupBy("_bk").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    if not offsets:
+        return pos
+    offset_col = F.element_at(
+        F.create_map(
+            *[
+                c
+                for bk, off in offsets.items()
+                for c in (F.lit(int(bk)).cast("long"), F.lit(int(off)).cast("long"))
+            ]
+        ),
+        F.col("_bk"),
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_bk").orderBy("_h", key)
+    sampled = (
+        bucketed.withColumn("_rk", F.row_number().over(w) + offset_col)
+        .where(F.col("_rk") <= n_pos)
+        .drop("_h", "_bk", "_rk")
+    )
+    return pos.unionByName(sampled)
+
+
+def class_balanced_pairs(
+    pairs: DataFrame,
+    label_col: str = "re_label",
+    key: str = "pair_id",
+    negative_class: str = "沒有",
+    seed: str = "22",
+) -> DataFrame:
+    """Class-balanced RE training table: every labeled pair + an equal-count
+    deterministic sample of the 沒有 negatives."""
+    return hash_balanced_sample(
+        pairs, F.col(label_col) != negative_class, key=key, seed=seed
+    )
