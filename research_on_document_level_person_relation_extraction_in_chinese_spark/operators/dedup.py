@@ -147,37 +147,8 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    block_col: str = "source",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Blocked n-gram Jaccard via the inverted-index set-similarity join
-    (the MapReduce-era standard — explode distinct shingles, equi-join on
-    (block, shingle), count co-occurrences, derive Jaccard from set sizes).
-
-    Scale shape: no array cross-join ever materializes — the shuffle keys are
-    (block, shingle) and the aggregation is partial (map-side combined).
-    Known refinement for adversarial data: hot shingles fan out; prefix
-    filtering (sort shingles by global frequency, join only on each set's
-    rarest ⌈(1-θ)|A|⌉+1 shingles) bounds that — not needed at current data.
-    """
-    sh = docs.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on=["blk", "sh"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
-    )
+def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(a_id, b_id, n_common) + per-doc set sizes → thresholded Jaccard."""
     sz = F.broadcast(sizes)
     joined = (
         inter.join(sz.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
@@ -189,6 +160,169 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def _inverted_index_counts(sh: DataFrame, threshold: float, prefix_filter: bool) -> DataFrame:
+    """Exact intersection counts via the inverted-index set-similarity join.
+
+    ``prefix_filter=True`` is the open-vocabulary scale path (PPJoin-style):
+    shingles are globally ordered by (document frequency, shingle) and each
+    doc joins only on its ⌊(1−θ)·|A|⌋+1 rarest shingles — LOSSLESS for
+    Jaccard ≥ θ (any qualifying pair shares ≥ θ·max(|A|,|B|) shingles, so the
+    globally-smallest common shingle lands in both prefixes), and hot
+    shingles (the quadratic fan-out risk) rank last so they drop out of every
+    prefix. Candidates then re-join the full index for the exact count.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if not prefix_filter:
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, on=["blk", "sh"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    from pyspark.sql.window import Window
+
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(F.col("_rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1)
+        .select("blk", "id", "sh")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(pb, on=["blk", "sh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    a_sh = sh.select(F.col("id").alias("a_id"), F.col("sh"))
+    b_sh = sh.select(F.col("id").alias("b_id"), F.col("sh"))
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+_DENSE_BITS_PER_WORD = 62  # stay clear of the long sign bit
+
+
+def _dense_jaccard_pairs(sh: DataFrame, vocab: list[str], threshold: float) -> DataFrame:
+    """Exact Jaccard via dense bit vectors over a SMALL global shingle
+    vocabulary: the driver-collected vocab (taxonomy-style bounded state)
+    becomes a broadcast (shingle → bit) table; one hash-aggregate folds each
+    doc's shingles into ⌈V/62⌉ long words; the block self-join computes
+    |A∩B| with bitwise-AND + popcount — whole-stage-codegen arithmetic end
+    to end, two linear scans + one join shuffle.
+
+    This is the fast path for templated/boilerplate-heavy corpora: a tiny
+    vocabulary means near-every pair co-occurs somewhere, so an inverted
+    index degenerates to all-pairs anyway (measured 55M pair-rows on the
+    sf0.1 fixture vs 622k block pairs here)."""
+    spark = sh.sparkSession
+    bit_rows = [(s, i) for i, s in enumerate(sorted(vocab))]
+    n_words = (len(bit_rows) + _DENSE_BITS_PER_WORD - 1) // _DENSE_BITS_PER_WORD
+    bits = spark.createDataFrame(bit_rows, "sh string, _bit int")
+    shw = sh.join(F.broadcast(bits), "sh").select(
+        "blk",
+        "id",
+        F.floor(F.col("_bit") / _DENSE_BITS_PER_WORD).cast("int").alias("_w"),
+        # 2^(bit%62) via pow: exact for powers of two up to 2^61
+        F.pow(F.lit(2.0), F.col("_bit") % _DENSE_BITS_PER_WORD).cast("long").alias("_b"),
+    )
+    masks = shw.groupBy("blk", "id").agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.coalesce(F.sum(F.when(F.col("_w") == k, F.col("_b"))), F.lit(0))
+            .cast("long")
+            .alias(f"m{k}")
+            for k in range(n_words)
+        ],
+    )
+    a, b = masks.alias("a"), masks.alias("b")
+    common = None
+    for k in range(n_words):
+        term = F.bit_count(F.col(f"a.m{k}").bitwiseAND(F.col(f"b.m{k}")))
+        common = term if common is None else common + term
+    joined = (
+        a.join(b, on="blk")
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("n_common", common.cast("long"))
+        .where(F.col("n_common") > 0)
+    )
+    union = F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_common")
+    return (
+        joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "auto",
+    dense_vocab_limit: int = 4096,
+) -> DataFrame:
+    """Blocked n-gram Jaccard set-similarity join, adaptive between two exact
+    plans (identical output, same SQL oracle):
+
+    - ``dense``  — small global vocabulary ⇒ bit-vector popcount Jaccard over
+      the block self-join (``_dense_bitmask_counts``).
+    - ``prefix`` — open vocabulary ⇒ prefix-filtered inverted index
+      (``_inverted_index_counts(prefix_filter=True)``): hot shingles never
+      join, candidate fan-out is bounded by rare-shingle frequencies — the
+      100-TB shape.
+    - ``inverted`` — the unfiltered inverted index (baseline/testing).
+    - ``auto``   — one cheap distinct-count decides dense vs prefix.
+
+    Scale notes: the dense path requires bounded block sizes (vocabulary
+    that small implies templated data; AQE skew-join splits oversized
+    blocks). The prefix path's only wide ops are linear shuffles (frequency
+    groupBy, per-doc rank window) plus the pruned candidate join.
+    """
+    sh = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+    vocab: list[str] | None = None
+    if strategy in ("auto", "dense"):
+        # bounded driver state (like the taxonomy map): pull at most
+        # limit+1 distinct shingles to decide / build the literal bit map
+        vocab = [
+            r["sh"]
+            for r in sh.select("sh").distinct().limit(dense_vocab_limit + 1).collect()
+        ]
+        if strategy == "auto":
+            strategy = "dense" if len(vocab) <= dense_vocab_limit else "prefix"
+        elif len(vocab) > dense_vocab_limit:
+            raise ValueError(
+                f"dense strategy needs vocab ≤ {dense_vocab_limit}, got more"
+            )
+
+    if strategy == "dense":
+        return _dense_jaccard_pairs(sh, vocab, threshold)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if strategy == "prefix":
+        inter = _inverted_index_counts(sh, threshold, prefix_filter=True)
+    elif strategy == "inverted":
+        inter = _inverted_index_counts(sh, threshold, prefix_filter=False)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return _jaccard_from_counts(inter, sizes, threshold)
 
 
 def simhash(text: Column, n: int = 2, bits: int = 16) -> Column:

@@ -1,0 +1,85 @@
+"""ngram_jaccard_pairs strategies: dense bitmask / prefix-filtered inverted
+index / unfiltered baseline produce IDENTICAL output; prefix filtering
+actually prunes on Zipfian (hot-shingle) data; dense is chosen automatically
+on tiny vocabularies."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+    _inverted_index_counts,
+    char_shingles,
+    ngram_jaccard_pairs,
+)
+
+HOT = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"  # boilerplate every doc shares
+
+
+def _unique_tail(i: int, length: int = 30) -> str:
+    return "".join(chr(0x4E00 + i * 64 + j) for j in range(length))
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    """40 docs sharing a hot boilerplate prefix + unique tails, plus 3 exact
+    near-dup pairs. Hot shingles co-occur everywhere (quadratic fan-out for
+    the naive inverted index); true near-dups share rare shingles."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "b0", HOT + _unique_tail(i)))
+    for j, i in enumerate((50, 51, 52)):
+        rows.append((i, "b0", HOT + _unique_tail(100 + j)))
+        rows.append((i + 10, "b0", HOT + _unique_tail(100 + j)))  # exact dup
+    return spark.createDataFrame(rows, "doc_id int, source string, text string").cache()
+
+
+def _pairs(docs, strategy):
+    return sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, block_col="source", n=3, threshold=0.5, strategy=strategy
+            ).collect(),
+        )
+    )
+
+
+def test_strategies_identical_output(spark, zipf_docs):
+    dense = _pairs(zipf_docs, "dense")
+    prefix = _pairs(zipf_docs, "prefix")
+    inverted = _pairs(zipf_docs, "inverted")
+    assert dense == prefix == inverted
+    # the three constructed dup pairs (and only they) survive θ=0.5
+    assert [(a, b) for a, b, _ in dense] == [(50, 60), (51, 61), (52, 62)]
+    assert all(j == 1.0 for _, _, j in dense)
+
+
+def test_prefix_filter_prunes_hot_shingles(spark, zipf_docs):
+    sh = zipf_docs.select(
+        F.col("source").alias("blk"),
+        F.col("doc_id").alias("id"),
+        F.explode(char_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    co_occurring = _inverted_index_counts(sh, 0.5, prefix_filter=False).count()
+    candidates = _inverted_index_counts(sh, 0.5, prefix_filter=True).count()
+    # every pair co-occurs via the hot boilerplate (C(46,2)=1035); the prefix
+    # filter joins only on rare shingles so candidates collapse to the dups
+    assert co_occurring == 46 * 45 // 2
+    assert candidates <= 10, candidates
+
+
+def test_auto_picks_dense_on_tiny_vocab(spark):
+    rows = [(i, "b", "xyxyxyxyzz") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = ngram_jaccard_pairs(docs, block_col="source", n=3, threshold=0.5)
+    # all identical docs → all C(6,2) pairs at jaccard 1.0
+    assert out.count() == 15
+    assert out.agg(F.min("jaccard")).collect()[0][0] == 1.0
+
+
+def test_dense_rejects_large_vocab(spark, zipf_docs):
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(
+            zipf_docs, block_col="source", n=3, threshold=0.5,
+            strategy="dense", dense_vocab_limit=10,
+        )
