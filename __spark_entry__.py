@@ -331,10 +331,12 @@ def q_dup_prefix_groups(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # bands=2×4 rows: selective banding — the synthetic docs share a tiny
-    # vocabulary, so looser bands would make every pair a candidate (O(n²)).
+    # bands derived from the threshold via the LSH S-curve rule
+    # (lsh_params(0.7, 8) → 2 bands × 4 rows — selective banding; the
+    # synthetic docs share a tiny vocabulary, so looser bands would make
+    # every pair a candidate)
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, k=8, bands=2, threshold=0.7
+        _t(spark, sf_dir, "documents"), n=3, k=8, bands=None, threshold=0.7
     )
 
 
@@ -410,6 +412,15 @@ def q_ann_bucket_topk(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.4, sign_dims=3, max_id=2000)
+
+
+def q_ann_banded_near_dups(spark, sf_dir):
+    """The 100-TB-shaped ANN near-dup: 16 random hyperplanes, 4 bands of 4
+    sign bits, OR-amplified candidate union + exact-cosine verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.banded_near_dup_pairs(
+        emb, threshold=0.4, n_planes=16, bands=4, seed="ann", max_id=2000
+    )
 
 
 # --------------------------------------------------------------------------
@@ -535,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_bucket_topk": q_ann_bucket_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "ann_banded_near_dups": q_ann_banded_near_dups,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -550,6 +562,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _SHINGLE_HASH_SQL = "(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % 1000000007)"
+
+
+def _ann_banded_sql(threshold=0.4, n_planes=16, bands=4, seed="ann", dim=64, max_id=2000) -> str:
+    """Generated oracle for q_ann_banded_near_dups: the SAME literal
+    hyperplane coefficients drive both the Spark expression and this SQL."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.simsearch import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(n_planes, dim, seed)
+    rows_per_band = n_planes // bands
+
+    def dot(p: int) -> str:
+        lit = "[" + ", ".join(repr(c) for c in planes[p]) + "]"
+        return f"list_dot_product(e, {lit})"
+
+    bucket_cols = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(b * rows_per_band + j)} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        bucket_cols.append(f"({bits}) AS bk{b}")
+
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.id AS a_id, b.id AS b_id FROM bk a JOIN bk b "
+        f"ON a.bk{b} = b.bk{b} AND a.id < b.id"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < {max_id}
+        ),
+        bk AS (SELECT id, e, {', '.join(bucket_cols)} FROM base),
+        cand AS ({band_joins}),
+        scored AS (
+            SELECT c.a_id, c.b_id,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM cand c JOIN bk a ON a.id = c.a_id JOIN bk b ON b.id = c.b_id
+        )
+        SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {threshold}
+    """
 
 _SHINGLES_3_SQL = """
     SELECT doc_id, source, unnest(list_transform(
@@ -930,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.4
         """,
+        "ann_banded_near_dups": _ann_banded_sql(),
         # kg_triples / kg_nodes / kg_edges / kg_ner_re_replay /
         # kg_generation_replay / media_features:
         # non-SQL-expressible (deterministic scorer pipeline, iterative

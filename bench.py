@@ -50,6 +50,8 @@ HEADLINE = [
     "embedding_topk",
     "ann_bucket_topk",
     "embedding_near_dups",
+    "ann_banded_near_dups",
+    "balanced_sample",
 ]
 
 

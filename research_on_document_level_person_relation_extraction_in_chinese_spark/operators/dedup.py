@@ -84,13 +84,30 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def lsh_params(threshold: float, k: int) -> tuple[int, int]:
+    """(bands, rows) for a target Jaccard threshold: the banded-LSH collision
+    S-curve has its steepest point near t ≈ (1/b)^(1/r); pick the divisor
+    b of k whose t is closest to ``threshold`` (standard MMDS ch.3 rule) —
+    no hand-tuning per dataset."""
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        t = (1.0 / b) ** (1.0 / r)
+        score = abs(t - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r)
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     k: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
     threshold: float = 0.6,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
@@ -98,7 +115,11 @@ def minhash_lsh_pairs(
     shingle → k minhashes → ``bands`` bands of k/bands rows → bucket-join on
     (band, band signature) → candidate pairs → exact n-gram Jaccard filter.
     Returns (a_id, b_id, jaccard) with a_id < b_id, rounded to 4 decimals.
+    ``bands=None`` derives (bands, rows) from ``threshold`` via the LSH
+    S-curve rule (``lsh_params``) instead of per-dataset hand-tuning.
     """
+    if bands is None:
+        bands, _ = lsh_params(threshold, k)
     rows_per_band = k // bands
     base = docs.select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("sh")

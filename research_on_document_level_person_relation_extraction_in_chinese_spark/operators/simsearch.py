@@ -85,6 +85,122 @@ def bucketed_ann_topk(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int, seed: str = "ann") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via md5 — reproducible as
+    literal coefficient arrays in the SQL oracle (no RNG state)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    lits = F.array(*[F.lit(float(c)) for c in plane])
+    return F.aggregate(
+        F.zip_with(vec, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def band_bucket(vec: Column, planes: list[list[float]], band: int, rows_per_band: int) -> Column:
+    """Sign bits of ``rows_per_band`` hyperplane dot products, packed into one
+    int — the per-band LSH bucket id of the OR-amplified scheme."""
+    out = F.lit(0)
+    for j in range(rows_per_band):
+        plane = planes[band * rows_per_band + j]
+        out = out + F.when(_plane_dot(vec, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def banded_candidates(base: DataFrame, bands: int) -> DataFrame:
+    """Distinct candidate pairs colliding in at least one band (the
+    OR-amplification union); ``base`` carries id + bk0..bk{bands-1}."""
+    cand = None
+    for b in range(bands):
+        a_side = base.select(F.col("id").alias("a_id"), F.col(f"bk{b}").alias("bk"))
+        b_side = base.select(F.col("id").alias("b_id"), F.col(f"bk{b}").alias("bk"))
+        pairs = (
+            a_side.join(b_side, "bk")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.distinct()
+
+
+def banded_base(
+    emb: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: str = "ann",
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, e, bk0..bk{bands-1}) — the bucketed projection of the banded
+    scheme (shared by the near-dup join and the candidate-count tests)."""
+    rows_per_band = n_planes // bands
+    planes = random_hyperplanes(n_planes, dim, seed)
+    base = emb
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    e = _to_double(F.col(vec_col))
+    return base.select(
+        F.col(id_col).alias("id"),
+        e.alias("e"),
+        *[
+            band_bucket(e, planes, b, rows_per_band).alias(f"bk{b}")
+            for b in range(bands)
+        ],
+    )
+
+
+def banded_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: str = "ann",
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with banded random-hyperplane LSH +
+    OR-amplification — the 100-TB shape of ``embedding_near_dup_pairs``.
+
+    ``n_planes`` sign bits split into ``bands`` bands of ``n_planes/bands``
+    rows; a pair is a candidate iff ALL bits of SOME band agree (collision
+    prob. for cosine angle θ: 1-(1-(1-θ/π)^r)^b — more planes ⇒ smaller
+    buckets ⇒ sub-quadratic candidates; more bands ⇒ recall back up). Each
+    band's bucket join is an equi-join on a uniform int key (AQE splits any
+    residual skew); candidates are unioned, deduped, then verified with the
+    exact cosine. Recall is the LSH guarantee, precision is exact.
+    """
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    base = banded_base(emb, n_planes, bands, seed, max_id, id_col, vec_col, dim)
+    cand = banded_candidates(base, bands)
+
+    vecs = base.select("id", "e")
+    joined = (
+        cand.join(vecs.withColumnRenamed("id", "a_id").withColumnRenamed("e", "ea"), "a_id")
+        .join(vecs.withColumnRenamed("id", "b_id").withColumnRenamed("e", "eb"), "b_id")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        joined.withColumn("_cos", F.round(cos, 6))
+        .where(F.col("_cos") >= threshold)
+        .select("a_id", "b_id", F.col("_cos").alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
