@@ -4,9 +4,9 @@ north rule: blocking + pairwise similarity + connected components).
 Person mentions (NER surface forms: canonical names, simplified-script
 spellings, title-suffixed aliases) are normalized (title strip + s2t),
 blocked, pairwise-matched within blocks via a self-join, and merged with an
-iterative DataFrame connected-components loop (small-star/large-star style
-min-label propagation with per-iteration localCheckpoint — GraphFrames-like,
-no external dependency).
+iterative DataFrame connected-components loop (alternating large-star /
+small-star with per-iteration localCheckpoint — GraphFrames-like, no
+external dependency, O(log n) rounds on any graph shape).
 
 Scale notes: blocks are keyed on (surname, name length, 2nd char) — the extra
 character *refines* hot-surname blocks (陳/林/王 skew) without losing recall
@@ -62,44 +62,92 @@ def mention_edges(mentions: DataFrame, refine_blocks: bool = True) -> DataFrame:
     )
 
 
-def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Min-label propagation over string vertex ids → (id, component).
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """(src > dst) direction, self-loops dropped, deduped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to its
+    minimum neighborhood label (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", op. large-star). Keeps the (src > dst) canon."""
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bidir.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("src"))
+    return (
+        bidir.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node links all its smaller neighbors (and itself)
+    to the minimum of them. Input/output in (src > dst) canon."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    relink = (
+        edges.join(mins, "src")
+        .where(F.col("dst") != F.col("_mn"))
+        .select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
+    )
+    self_link = mins.select("src", F.col("_mn").alias("dst"))
+    return relink.union(self_link).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # per-edge hash reduced mod P before summing (ANSI-safe: no overflow
+        # below ~9e9 edges per partition sum)
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components over string
+    vertex ids → (id, component) where component = the component's minimum
+    id (Kiveris et al. — O(log n) rounds even on long chains, vs the
+    O(diameter) of plain min-label propagation).
 
     Iterative DataFrame joins with ``localCheckpoint`` per round to cut the
-    growing lineage (SURVEY §4 custom item 2). Converges in O(diameter)
-    rounds; alias graphs are near-stars so 2–3 rounds in practice.
-    """
-    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
-    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bidir = bidir.localCheckpoint(eager=False)
+    growing lineage (SURVEY §4 custom item 2). Raises if the edge set has
+    not reached a fixpoint within ``max_iter`` rounds — unconverged labels
+    would silently split entities."""
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    prev = _edge_checksum(e)
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            bidir.join(labels, on=[bidir.dst == labels.id])
-            .select(F.col("src").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            converged = True
             break
-    return labels
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds"
+        )
+    # fixpoint edges form stars: src (child) → dst (component root)
+    roots = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return (
+        vertices.select("id")
+        .join(roots, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def link_entities(expanded: DataFrame) -> DataFrame:

@@ -53,3 +53,43 @@ def test_connected_components_chain_converges(spark):
     )
     comp = connected_components(vertices, edges, max_iter=20)
     assert {r["component"] for r in comp.collect()} == {"n0"}
+
+
+def test_connected_components_long_chain_olog_rounds(spark):
+    """1000-node chain: min-label propagation would need ~1000 rounds;
+    large-star/small-star converges within the O(log n) budget."""
+    ids = [f"n{i:04d}" for i in range(1000)]
+    vertices = spark.createDataFrame([(i,) for i in ids], "id string")
+    edges = spark.createDataFrame(
+        [(ids[i + 1], ids[i]) for i in range(999)], "src string, dst string"
+    )
+    comp = connected_components(vertices, edges, max_iter=15)
+    rows = comp.collect()
+    assert len(rows) == 1000
+    assert {r["component"] for r in rows} == {"n0000"}
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    import pytest
+
+    ids = [f"n{i:03d}" for i in range(64)]
+    vertices = spark.createDataFrame([(i,) for i in ids], "id string")
+    edges = spark.createDataFrame(
+        [(ids[i + 1], ids[i]) for i in range(63)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iter=1)
+
+
+def test_connected_components_two_components_and_dups(spark):
+    vertices = spark.createDataFrame(
+        [(x,) for x in ("a", "b", "c", "x", "y", "z")], "id string"
+    )
+    edges = spark.createDataFrame(
+        # duplicate + reversed + self-loop edges must be tolerated
+        [("b", "a"), ("a", "b"), ("c", "c"), ("c", "a"), ("y", "x"), ("z", "y")],
+        "src string, dst string",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == comp["z"] == "x"
