@@ -29,7 +29,19 @@ def salted_join(
     small side replicated ``n_salt``× — hot keys spread over n_salt shuffle
     partitions. Deterministic salt (hash of the full row is unnecessary —
     a uniform pseudo-random derived from a monotonically increasing id keeps
-    the spread even regardless of key distribution)."""
+    the spread even regardless of key distribution).
+
+    Only join types where the replicated small side cannot surface unmatched
+    rows are allowed: right/full outer joins would return each unmatched
+    small-side row ``n_salt`` times, breaking the identical-results contract.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r} "
+            "(outer joins would replicate unmatched small-side rows)"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
     )

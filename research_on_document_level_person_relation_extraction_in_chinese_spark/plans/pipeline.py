@@ -63,9 +63,11 @@ def triples_from_expanded(expanded: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(docs: DataFrame, scorer: str = "deterministic") -> DataFrame:
-    """Flagship query: all person-relation triples in the corpus."""
-    return triples_from_expanded(expanded_frame(docs, scorer))
+def extract_triples(docs: DataFrame, scorer: str = "deterministic", cache: bool = True) -> DataFrame:
+    """Flagship query: all person-relation triples in the corpus.
+    ``cache=False`` for callers that loop (streaming foreachBatch) — avoids
+    accumulating persisted blocks across invocations."""
+    return triples_from_expanded(expanded_frame(docs, scorer, cache=cache))
 
 
 def run_pipeline(
@@ -90,9 +92,18 @@ def run_pipeline(
         if resume and catalog.has_stage(name):
             return catalog.read_stage(spark, name)
         df = df_fn()
-        stage_metrics = metric_fn(df) if (with_metrics and metric_fn) else {}
-        metrics[name] = stage_metrics
-        catalog.write_stage(df, name, inputs=inputs, metrics=stage_metrics)
+        if with_metrics and metric_fn:
+            # persist across metrics + write so the stage (incl. its scorer
+            # scan) computes ONCE, not once per action
+            df = df.persist()
+            try:
+                stage_metrics = metric_fn(df)
+                metrics[name] = stage_metrics
+                catalog.write_stage(df, name, inputs=inputs, metrics=stage_metrics)
+            finally:
+                df.unpersist()
+        else:
+            catalog.write_stage(df, name, inputs=inputs, metrics={})
         return catalog.read_stage(spark, name)
 
     zh = docs.filter(F.col("lang") == "zh").select("url", "text")

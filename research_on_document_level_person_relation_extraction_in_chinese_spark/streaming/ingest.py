@@ -29,7 +29,11 @@ def stream_extract_triples(
     """Start (and with ``available_now`` await) the streaming extraction.
 
     Returns the StreamingQuery. Exactly-once: the file source tracks consumed
-    files in the checkpoint; foreachBatch appends are idempotent per batch id.
+    files in the checkpoint, and each micro-batch OVERWRITES its own
+    deterministic ``batch_id=<n>`` partition directory — a crash between the
+    write and the checkpoint commit replays the batch into the same path
+    instead of appending duplicates. Readers see one ``batch_id`` partition
+    column via ``spark.read.parquet(output_dir)``.
     """
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -38,8 +42,11 @@ def stream_extract_triples(
     )
 
     def process(batch_df, batch_id: int):
-        triples = extract_triples(batch_df, scorer=scorer)
-        triples.write.mode("append").parquet(output_dir)
+        # cache=False: a per-micro-batch persist would accumulate storage
+        # blocks across the stream's lifetime (the taxonomy barrier recomputes
+        # the scorer scan once instead — bounded work per small batch)
+        triples = extract_triples(batch_df, scorer=scorer, cache=False)
+        triples.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
