@@ -131,6 +131,35 @@ def re_replay_stage(
     )
 
 
+def re_pair_predictions(
+    pairs: DataFrame,
+    scorer: str = "deterministic",
+    max_length: int = 1024,
+) -> DataFrame:
+    """Per-pair predictions over the exploded RE table
+    (``operators.training.re_training_pairs`` output): + ``pred_label``
+    (沒有 when the answer stays unparseable after retries). Feeds
+    ``evaluate_re_micro`` — the reference's ``evalute_re`` consumer
+    (``evalute.py:200-218`` scores exactly this pred-vs-golden column pair).
+    """
+    mod = get_scorer(scorer)
+
+    @pandas_udf(StringType())
+    def pred_udf(text: pd.Series, subj: pd.Series, obj: pd.Series) -> pd.Series:
+        out = []
+        for t, s, o in zip(text, subj, obj):
+            head = (t or "")[:max_length]
+            cls = None
+            for _ in range(RETRY_BUDGET):
+                cls = parse_single_class(mod.score_re_pair(head, s, o))
+                if cls is not None:
+                    break
+            out.append(cls if cls is not None else "沒有")
+        return pd.Series(out)
+
+    return pairs.withColumn("pred_label", pred_udf(F.col("text"), F.col("subj"), F.col("obj")))
+
+
 def make_generation_udf(scorer: str = "deterministic", max_length: int = 1024):
     mod = get_scorer(scorer)
 

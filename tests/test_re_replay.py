@@ -151,6 +151,26 @@ def test_replay_status_columns(spark, expanded):
 
 # --- micro-averaged RE accuracy (reference evalute_re) ------------------------
 
+def test_re_pair_predictions_micro_accuracy(spark, expanded):
+    """The reference's evalute_re consumer: per-pair predictions over the
+    exploded RE table scored micro vs the golden re_label."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.re_replay import (
+        re_pair_predictions,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.training import (
+        re_training_pairs,
+    )
+
+    pairs = re_training_pairs(expanded)
+    pred = re_pair_predictions(pairs)
+    res = evaluate_re_micro(pred, "pred_label", "re_label")
+    print("pair-level micro accuracy:", res)
+    assert res["n"] > 300
+    # near-perfect up to the deterministic skip noise + the reference's own
+    # train(4000-char golden)-vs-infer(1024-char) truncation mismatch
+    assert res["f1"] >= 0.9, res
+
+
 def test_evaluate_re_micro_fixture(spark):
     df = spark.createDataFrame(
         [("a", "同事", "同事"), ("b", "親屬", "沒有"), ("c", "沒有", "沒有"),
