@@ -74,20 +74,51 @@ def run_once(cores: int, corpus_dir: str, sf_dir: str) -> dict:
     }
 
 
+def _burn_chunk(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def burn(procs: int, total_iters: int = 120_000_000) -> float:
+    """Host-ceiling probe: fixed TOTAL pure-CPU work split over ``procs``
+    Python processes. The 1-vs-4-proc time ratio is the best parallel
+    efficiency this host can physically deliver AT THAT MOMENT (tenant load
+    included) — the normalizer for the Spark numbers."""
+    import multiprocessing as mp
+
+    chunk = total_iters // procs
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn_chunk, [chunk] * procs)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     n_docs = int(os.environ.get("SCALING_DOCS", "200000"))
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     lo_cores = int(os.environ.get("SCALING_N", "2"))
     hi_cores = int(os.environ.get("SCALING_4N", "8"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ratio = hi_cores / lo_cores
 
     tmp = tempfile.mkdtemp(prefix="scaling_corpus_")
     try:
         prepare_corpus(n_docs, tmp, partitions=max(hi_cores * 4, 32))
-        lo_runs, hi_runs = [], []
-        for _ in range(repeats):  # interleaved A/B
+        lo_runs, hi_runs, burns = [], [], []
+        for _ in range(repeats):  # interleaved A/B with adjacent ceiling probes
+            b_lo = burn(lo_cores)
             lo_runs.append(run_once(lo_cores, tmp, sf_dir))
+            b_hi = burn(hi_cores)
             hi_runs.append(run_once(hi_cores, tmp, sf_dir))
+            burns.append(
+                {
+                    "n_sec": round(b_lo, 2),
+                    "4n_sec": round(b_hi, 2),
+                    "ceiling_eff": round((b_lo / b_hi) / ratio, 3),
+                }
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -95,16 +126,34 @@ def main() -> None:
         return min(r[key] for r in runs)
 
     result = {"n_docs": n_docs, "n_cores": lo_cores, "4n_cores": hi_cores}
+    result["host_ceiling"] = {
+        "per_repeat": burns,
+        "best_eff": max(b["ceiling_eff"] for b in burns),
+    }
     for job, key in (("kg", "kg_sec"), ("lsh", "lsh_sec")):
         lo_best, hi_best = best(lo_runs, key), best(hi_runs, key)
         speedup = lo_best / hi_best
+        eff = speedup / ratio
+        # per-repeat normalization: Spark efficiency ÷ the host efficiency
+        # measured adjacent to the SAME pair of runs
+        per_repeat = [
+            {
+                "spark_eff": round((lo[key] / hi[key]) / ratio, 3),
+                "of_ceiling": round(
+                    ((lo[key] / hi[key]) / ratio) / b["ceiling_eff"], 3
+                ),
+            }
+            for lo, hi, b in zip(lo_runs, hi_runs, burns)
+        ]
         result[job] = {
             "n_best_sec": lo_best,
             "4n_best_sec": hi_best,
             "n_runs": [r[key] for r in lo_runs],
             "4n_runs": [r[key] for r in hi_runs],
             "speedup": round(speedup, 3),
-            "scaling_efficiency": round(speedup / (hi_cores / lo_cores), 3),
+            "scaling_efficiency": round(eff, 3),
+            "per_repeat": per_repeat,
+            "best_of_ceiling": max(p["of_ceiling"] for p in per_repeat),
         }
     print(json.dumps(result))
 
