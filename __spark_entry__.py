@@ -320,6 +320,13 @@ def q_simhash_sample(spark, sf_dir):
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """Banded hamming self-join over SimHash (lossless for distance < bands
+    by pigeonhole — the all-pairs check is the oracle)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return D.simhash_near_dup_pairs(d, n=2, bits=16, bands=4, max_distance=2)
+
+
 def q_dup_prefix_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -537,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals": q_token_totals,
         "fingerprints": q_fingerprints,
         "simhash_sample": q_simhash_sample,
+        "simhash_near_dups": q_simhash_near_dups,
         "dup_prefix_groups": q_dup_prefix_groups,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
@@ -875,6 +883,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "simhash_near_dups": f"""
+            WITH sh2 AS (
+                SELECT doc_id, sh FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(1, greatest(length(text) - 1, 0) + 1),
+                        i -> substr(text, CAST(i AS INTEGER), 2))) AS sh
+                    FROM documents WHERE doc_id < 400
+                ) GROUP BY 1, 2
+            ),
+            h AS (SELECT doc_id, {_SHINGLE_HASH_SQL.format(s='sh')} AS h FROM sh2),
+            b AS (
+                SELECT doc_id, j.j,
+                       CASE WHEN sum(((h >> j.j) & 1) * 2 - 1) > 0
+                            THEN CAST(1 << j.j AS BIGINT) ELSE 0 END AS bit
+                FROM h, generate_series(0, 15) AS j(j)
+                GROUP BY doc_id, j.j
+            ),
+            s AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM b GROUP BY doc_id)
+            SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+            FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.simhash, b2.simhash)) <= 2
         """,
         "dup_prefix_groups": """
             SELECT md5(substr(text, 1, 24)) AS prefix_md5,

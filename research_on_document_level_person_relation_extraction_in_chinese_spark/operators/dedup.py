@@ -372,10 +372,64 @@ def simhash_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (cheap near-dup signal;
-    banded hamming joins are the scale-out refinement)."""
+    ``simhash_near_dup_pairs`` is the hamming-tolerant scale-out variant)."""
     return (
         docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Banded hamming self-join over SimHash fingerprints →
+    (a_id, b_id, hamming ≤ max_distance).
+
+    LOSSLESS, not approximate: with ``max_distance < bands``, any pair within
+    hamming distance d differs in at most d bands, so by pigeonhole at least
+    one band matches exactly — candidate generation via ``bands`` equi-joins
+    on band values finds every qualifying pair (the classic Manku et al.
+    WWW'07 construction). The brute-force all-pairs check is therefore a
+    valid SQL oracle. Scale shape: band values are uniform ints, candidates
+    ≪ all-pairs, verify is one XOR+popcount per candidate."""
+    if max_distance >= bands:
+        raise ValueError(
+            f"losslessness needs max_distance < bands, got {max_distance} ≥ {bands}"
+        )
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sims = docs.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), n=n, bits=bits).alias("h")
+    )
+    base = sims.select(
+        "id",
+        *[
+            F.shiftright(F.col("h"), b * bits_per_band)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"bk{b}")
+            for b in range(bands)
+        ],
+    )
+    from .simsearch import banded_candidates
+
+    cand = banded_candidates(base, bands)
+    joined = (
+        cand.join(sims.withColumnRenamed("id", "a_id").withColumnRenamed("h", "ha"), "a_id")
+        .join(sims.withColumnRenamed("id", "b_id").withColumnRenamed("h", "hb"), "b_id")
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        joined.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_distance)
+        .select("a_id", "b_id", "hamming")
     )

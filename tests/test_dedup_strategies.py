@@ -77,6 +77,54 @@ def test_auto_picks_dense_on_tiny_vocab(spark):
     assert out.agg(F.min("jaccard")).collect()[0][0] == 1.0
 
 
+def test_simhash_banded_lossless(spark, zipf_docs):
+    """Pigeonhole guarantee: banded candidate generation finds EVERY pair
+    within hamming distance < bands — equal to the brute-force all-pairs."""
+    from pyspark.sql import functions as F2
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(
+                zipf_docs, n=2, bits=16, bands=4, max_distance=3
+            ).collect(),
+        )
+    )
+    sims = zipf_docs.select(
+        F2.col("doc_id").alias("id"), simhash(F2.col("text"), n=2, bits=16).alias("h")
+    )
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = sorted(
+        map(
+            tuple,
+            a.join(b, F2.col("a.id") < F2.col("b.id"))
+            .select(
+                F2.col("a.id").alias("a_id"),
+                F2.col("b.id").alias("b_id"),
+                F2.bit_count(F2.col("a.h").bitwiseXOR(F2.col("b.h"))).cast("int").alias("hamming"),
+            )
+            .where(F2.col("hamming") <= 3)
+            .collect(),
+        )
+    )
+    assert got == brute
+    assert len(got) >= 3  # the planted exact dups are hamming 0
+
+
+def test_simhash_banded_rejects_lossy_params(spark, zipf_docs):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(zipf_docs, bands=4, max_distance=4)
+
+
 def test_dense_rejects_large_vocab(spark, zipf_docs):
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(
