@@ -42,6 +42,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table fanned out to the session's parallelism.
+
+    The fixture is ONE small parquet file (single row group → single input
+    split), so heavy per-row compute (shingling, minhash signatures, regex
+    token counts) would serialize on one core at any local[N] — measured:
+    the minhash query spent most of its time in a 1-task stage. A 100-TB
+    corpus has thousands of splits; the cheap round-robin repartition makes
+    test-scale plans exercise the same parallelism the operators have there.
+    """
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: person-relation triples of the synthetic corpus (the driver
     relational tables at sf0.001 are read as a path smoke-check)."""
@@ -278,7 +293,7 @@ def q_zh_docs_per_source(spark, sf_dir):
 
 
 def q_langid_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return (
         d.select(T.lang_id(F.col("text")).alias("pred_lang"), "lang")
         .groupBy("pred_lang")
@@ -290,7 +305,7 @@ def q_langid_counts(spark, sf_dir):
 
 
 def q_quality_by_lang(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     q = T.quality_features(d)
     return q.groupBy("lang").agg(
         F.round(F.avg("q_score"), 3).alias("avg_quality"),
@@ -300,21 +315,21 @@ def q_quality_by_lang(spark, sf_dir):
 
 
 def q_token_totals(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.groupBy("lang").agg(
         F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens")
     )
 
 
 def q_fingerprints(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.where(F.col("doc_id") < 25).select(
         "doc_id", T.fingerprint(F.col("text")).alias("fp")
     )
 
 
 def q_simhash_sample(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.where(F.col("doc_id") < 25).select(
         "doc_id", D.simhash(F.col("text"), n=2, bits=16).alias("simhash")
     )
@@ -323,7 +338,7 @@ def q_simhash_sample(spark, sf_dir):
 def q_simhash_near_dups(spark, sf_dir):
     """Banded hamming self-join over SimHash (lossless for distance < bands
     by pigeonhole — the all-pairs check is the oracle)."""
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = _docs_fanned(spark, sf_dir).where(F.col("doc_id") < 400)
     return D.simhash_near_dup_pairs(d, n=2, bits=16, bands=4, max_distance=2)
 
 
@@ -343,12 +358,12 @@ def q_minhash_lsh(spark, sf_dir):
     # synthetic docs share a tiny vocabulary, so looser bands would make
     # every pair a candidate)
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, k=8, bands=None, threshold=0.7
+        _docs_fanned(spark, sf_dir), n=3, k=8, bands=None, threshold=0.7
     )
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return D.ngram_jaccard_pairs(d, block_col="source", n=3, threshold=0.5)
 
 

@@ -143,10 +143,37 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .distinct()
     )
-    # exact-Jaccard verify via the inverted index: candidate pairs joined to
-    # the exploded shingle table twice and counted — no shingle ARRAYS ever
-    # shuffle to the pair side (candidates × |shingles| stays columnar rows)
+    # exact-Jaccard verify, adaptive like ngram_jaccard_pairs:
     sh_flat = base.select(F.col("id"), F.explode("sh").alias("s"))
+    vocab = [
+        r["s"] for r in sh_flat.select("s").distinct().limit(4097).collect()
+    ]
+    if len(vocab) <= 4096:
+        # dense popcount verify — candidates join the mask table twice
+        # (masks scale with DOC count, so no broadcast hint: AQE broadcasts
+        # when small, shuffles when not); |A∩B| is AND+popcount per
+        # candidate (the inverted-index verify would push |cand|×|shingles|
+        # rows through a join; measured 130M rows / 24 s → 935k rows on the
+        # sf0.1 fixture)
+        masks, n_words = _dense_masks(
+            sh_flat.select("id", F.col("s").alias("sh")), vocab, []
+        )
+        joined = (
+            cand.join(masks.alias("a"), cand.a_id == F.col("a.id"))
+            .join(masks.alias("b"), cand.b_id == F.col("b.id"))
+            .withColumn("n_common", _popcount_common(n_words))
+        )
+        union = F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_common")
+        return (
+            joined.withColumn(
+                "jaccard", F.round(F.col("n_common").cast("double") / union, 4)
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+    # open-vocabulary verify via the inverted index: candidate pairs joined
+    # to the exploded shingle table twice and counted — no shingle ARRAYS
+    # ever shuffle to the pair side
     a_sh = sh_flat.select(F.col("id").alias("a_id"), F.col("s"))
     b_sh = sh_flat.select(F.col("id").alias("b_id"), F.col("s"))
     n_common = (
@@ -235,30 +262,23 @@ def _inverted_index_counts(sh: DataFrame, threshold: float, prefix_filter: bool)
 _DENSE_BITS_PER_WORD = 62  # stay clear of the long sign bit
 
 
-def _dense_jaccard_pairs(sh: DataFrame, vocab: list[str], threshold: float) -> DataFrame:
-    """Exact Jaccard via dense bit vectors over a SMALL global shingle
-    vocabulary: the driver-collected vocab (taxonomy-style bounded state)
-    becomes a broadcast (shingle → bit) table; one hash-aggregate folds each
-    doc's shingles into ⌈V/62⌉ long words; the block self-join computes
-    |A∩B| with bitwise-AND + popcount — whole-stage-codegen arithmetic end
-    to end, two linear scans + one join shuffle.
-
-    This is the fast path for templated/boilerplate-heavy corpora: a tiny
-    vocabulary means near-every pair co-occurs somewhere, so an inverted
-    index degenerates to all-pairs anyway (measured 55M pair-rows on the
-    sf0.1 fixture vs 622k block pairs here)."""
+def _dense_masks(sh: DataFrame, vocab: list[str], extra_group_cols: list[str]) -> tuple[DataFrame, int]:
+    """Per-doc dense bit vectors over a SMALL global shingle vocabulary: the
+    driver-collected vocab (taxonomy-style bounded state) becomes a broadcast
+    (shingle → bit) table; one hash-aggregate folds each doc's shingles into
+    ⌈V/62⌉ long words. Returns (masks df with id/n_sh/m0..mk, n_words)."""
     spark = sh.sparkSession
     bit_rows = [(s, i) for i, s in enumerate(sorted(vocab))]
     n_words = (len(bit_rows) + _DENSE_BITS_PER_WORD - 1) // _DENSE_BITS_PER_WORD
     bits = spark.createDataFrame(bit_rows, "sh string, _bit int")
     shw = sh.join(F.broadcast(bits), "sh").select(
-        "blk",
+        *extra_group_cols,
         "id",
         F.floor(F.col("_bit") / _DENSE_BITS_PER_WORD).cast("int").alias("_w"),
         # 2^(bit%62) via pow: exact for powers of two up to 2^61
         F.pow(F.lit(2.0), F.col("_bit") % _DENSE_BITS_PER_WORD).cast("long").alias("_b"),
     )
-    masks = shw.groupBy("blk", "id").agg(
+    masks = shw.groupBy(*extra_group_cols, "id").agg(
         F.count("*").alias("n_sh"),
         *[
             F.coalesce(F.sum(F.when(F.col("_w") == k, F.col("_b"))), F.lit(0))
@@ -267,15 +287,32 @@ def _dense_jaccard_pairs(sh: DataFrame, vocab: list[str], threshold: float) -> D
             for k in range(n_words)
         ],
     )
-    a, b = masks.alias("a"), masks.alias("b")
+    return masks, n_words
+
+
+def _popcount_common(n_words: int, a: str = "a", b: str = "b") -> Column:
     common = None
     for k in range(n_words):
-        term = F.bit_count(F.col(f"a.m{k}").bitwiseAND(F.col(f"b.m{k}")))
+        term = F.bit_count(F.col(f"{a}.m{k}").bitwiseAND(F.col(f"{b}.m{k}")))
         common = term if common is None else common + term
+    return common.cast("long")
+
+
+def _dense_jaccard_pairs(sh: DataFrame, vocab: list[str], threshold: float) -> DataFrame:
+    """Exact Jaccard via dense bit vectors: block self-join over the mask
+    table computes |A∩B| with bitwise-AND + popcount — whole-stage-codegen
+    arithmetic end to end, two linear scans + one join shuffle.
+
+    This is the fast path for templated/boilerplate-heavy corpora: a tiny
+    vocabulary means near-every pair co-occurs somewhere, so an inverted
+    index degenerates to all-pairs anyway (measured 55M pair-rows on the
+    sf0.1 fixture vs 622k block pairs here)."""
+    masks, n_words = _dense_masks(sh, vocab, ["blk"])
+    a, b = masks.alias("a"), masks.alias("b")
     joined = (
         a.join(b, on="blk")
         .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("n_common", common.cast("long"))
+        .withColumn("n_common", _popcount_common(n_words))
         .where(F.col("n_common") > 0)
     )
     union = F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_common")

@@ -60,7 +60,13 @@ def run_once(cores: int, corpus_dir: str, sf_dir: str) -> dict:
     kg_sec = time.perf_counter() - t0
     spark.catalog.clearCache()
 
-    dd = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan the single-file fixture out to the session parallelism — the real
+    # corpus has thousands of input splits; without this the shingle/minhash
+    # compute serializes on ONE core at any local[N] (measured: lsh scaling
+    # ceilinged at 0.5 from exactly this)
+    dd = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t0 = time.perf_counter()
     n_pairs = minhash_lsh_pairs(dd, n=3, k=8, bands=2, threshold=0.7).count()
     lsh_sec = time.perf_counter() - t0
