@@ -109,15 +109,20 @@ def main() -> None:
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _noop_run(queries[name](spark, sf_dir))
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        # settle: whole-stage codegen leaves a JIT-compile backlog that
-        # otherwise stalls the NEXT query's first run by up to 40 s
-        # (measured); steady-state per-query numbers require draining it
-        time.sleep(min(2 + dt / 4, 10))
+        # best-of-2: the first run eats the JIT-compile backlog left by the
+        # previous query's codegen (measured: 36.5 s cold vs 1.9 s warm for
+        # the same langid plan) plus tenant noise; the second run is the
+        # steady state a long-lived cluster sees
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_run(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        total += best
+        # settle: drain the JIT backlog so it lands on the retry, not on the
+        # next query's only runs
+        time.sleep(min(2 + best / 4, 10))
 
     # best-of-2: the sandbox shares CPUs with other tenants; the second run
     # also reflects steady-state (warm python-worker pool = long-lived

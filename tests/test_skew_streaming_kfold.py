@@ -44,11 +44,31 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import time as _time
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
-    # time-ordered arrival (range-partitioned files): the watermark only
-    # drops rows that are genuinely >30 min late relative to arrival order
-    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.parquet(in_dir)
+    # time-ordered arrival: the file stream source orders pickup by file
+    # MODIFICATION time, and parallel range-partition writes finish in
+    # nondeterministic order (a later-range file picked up first advances
+    # the watermark and silently truncates earlier windows — observed as a
+    # flake). Write the ts-range slices SEQUENTIALLY so mod-time order ==
+    # event-time order deterministically.
+    bounds = list(
+        events.selectExpr(
+            "percentile(unix_timestamp(ts), array(1/6, 2/6, 3/6, 4/6, 5/6))"
+        ).collect()[0][0]
+    )
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        sl = events
+        if lo is not None:
+            sl = sl.where(F.unix_timestamp("ts") >= lo)
+        if hi is not None:
+            sl = sl.where(F.unix_timestamp("ts") < hi)
+        sl.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(0.05)  # distinct mtimes at fs resolution
+        lo = hi
 
     stream_windowed_counts(spark, in_dir, out_dir, ckpt)
     streamed = spark.read.parquet(out_dir)
