@@ -49,6 +49,45 @@ def test_top_orders_partial_aggregation(spark):
     assert "partial_sum" in plan
 
 
+def test_dense_jaccard_plan_shape(spark):
+    """Dense-bitmask Jaccard: the vocab bit table is broadcast (tiny), mask
+    build is ONE partial hash-aggregate, and no Python node appears anywhere
+    (pure codegen arithmetic)."""
+    plan = _plan(entry_mod.q_ngram_jaccard(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # shingle→bit lookup join
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+
+
+def test_balanced_sample_no_global_sort(spark):
+    """The exact hash-rank sample must NOT contain a single-partition global
+    sort: the only exchange for the rank is hashpartitioning on the range
+    bucket, and the window sorts within buckets."""
+    plan = _plan(entry_mod.q_balanced_sample(spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(_bk" in plan
+    assert "Window" in plan
+
+
+def test_banded_ann_plan_shape(spark):
+    """Banded ANN: per-band equi-joins (no cartesian/nested-loop product
+    anywhere), pure JVM expressions."""
+    plan = _plan(entry_mod.q_ann_banded_near_dups(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+
+
+def test_simhash_near_dups_plan_shape(spark):
+    plan = _plan(entry_mod.q_simhash_near_dups(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the doc_id bound reaches the parquet scan
+    assert "PushedFilters" in plan and "LessThan(doc_id,400)" in plan
+
+
 def test_pipeline_plan_is_narrow_until_distinct(spark):
     """The extraction chain must contain no shuffle (Exchange) before the
     final distinct — the whole per-document flow is pipelined in one stage."""
