@@ -77,12 +77,15 @@ def run_pipeline(
     scorer: str = "deterministic",
     resume: bool = True,
     with_metrics: bool = True,
+    with_replay: bool = False,
 ) -> dict:
     """Full run incl. linking + graph; returns stage DataFrames + metrics.
 
     With ``catalog``: each listed stage is materialized once (parquet
     bucketed by url-hash + manifest with lineage/counters); a re-run with
     ``resume=True`` reads completed stages instead of recomputing.
+    ``with_replay`` adds entry point C (per-pair RE replay) as a further
+    checkpointable stage over the expanded frame.
     """
     metrics: dict = {}
 
@@ -174,7 +177,7 @@ def run_pipeline(
         catalog.write_stage(nodes, "nodes", inputs=["expanded"], bucket_col="person_id")
         catalog.write_stage(edges, "edges", inputs=["expanded"], bucket_col="subj_id")
 
-    return {
+    result = {
         "annotated": parsed,
         "consensus": cons,
         "expanded": expanded,
@@ -184,3 +187,26 @@ def run_pipeline(
         "edges": edges,
         "metrics": metrics,
     }
+
+    if with_replay:
+        from ..operators.re_replay import re_replay_stage, replay_triples
+
+        def replay_metrics(df: DataFrame) -> dict:
+            row = df.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("mt5_pairs_scored").alias("n_pairs_scored"),
+                F.sum("mt5_pairs_skipped").alias("n_pairs_skipped"),
+                F.sum((F.col("mt5_has_relation") == "有").cast("int")).alias("n_positive_docs"),
+            ).collect()[0]
+            return {k: int(v or 0) for k, v in row.asDict().items()}
+
+        replayed = checkpoint(
+            "re_replay",
+            lambda: re_replay_stage(expanded, scorer=scorer),
+            ["expanded"],
+            replay_metrics,
+        )
+        result["re_replay"] = replayed
+        result["replay_triples"] = replay_triples(replayed, "mt5")
+
+    return result

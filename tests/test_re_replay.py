@@ -171,6 +171,29 @@ def test_re_pair_predictions_micro_accuracy(spark, expanded):
     assert res["f1"] >= 0.9, res
 
 
+def test_replay_stage_checkpoints_and_resumes(spark, docs, tmp_path):
+    """Entry point C participates in the catalog resume contract: the
+    re_replay stage is materialized with metrics and a re-run reads it back
+    instead of recomputing."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.catalog import (
+        StageCatalog,
+    )
+
+    catalog = StageCatalog(str(tmp_path / "stages"))
+    res = run_pipeline(spark, docs, catalog=catalog, with_replay=True)
+    first = sorted(map(tuple, res["replay_triples"].collect()))
+    assert catalog.has_stage("re_replay")
+    m = res["metrics"]["re_replay"]
+    assert m["n_pairs_scored"] > 0 and m["n_positive_docs"] > 0
+
+    res2 = run_pipeline(spark, docs, catalog=catalog, with_replay=True)
+    assert "re_replay" not in res2["metrics"]  # resumed, not recomputed
+    assert sorted(map(tuple, res2["replay_triples"].collect())) == first
+
+
 def test_evaluate_re_micro_fixture(spark):
     df = spark.createDataFrame(
         [("a", "同事", "同事"), ("b", "親屬", "沒有"), ("c", "沒有", "沒有"),
