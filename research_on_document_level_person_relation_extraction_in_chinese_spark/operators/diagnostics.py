@@ -71,3 +71,31 @@ def cross_sentence_summary(stats: DataFrame) -> DataFrame:
             "avg_min_distance"
         ),
     )
+
+
+def ner_overlap_audit(expanded: DataFrame) -> DataFrame:
+    """NER-source overlap audit (reference
+    ``sota_ner/gemini_expansion.py:243-277`` ``overlap()``): corpus totals of
+    CKIP mentions, LLM mentions, hallucinated LLM mentions (absent from the
+    trad document — the reference subtracts them from the LLM count), exact
+    intersection, and union. One aggregation over array expressions — no
+    Python. Requires a dual-NER expanded frame (``ner_sources`` incl. ckip +
+    gemini) filtered to non-empty merge labels like the reference."""
+    doc = F.col("trad_text")
+    halluc = F.size(F.filter("gemini_ner", lambda x: ~doc.contains(x)))
+    inter = F.size(F.array_intersect("ckip_entity", "gemini_ner"))
+    base = expanded.filter(F.size("merge_label") > 0).select(
+        F.size("ckip_entity").alias("_ck"),
+        F.size("gemini_ner").alias("_gm"),
+        halluc.alias("_hall"),
+        inter.alias("_inter"),
+    )
+    return base.agg(
+        F.sum("_ck").cast("long").alias("ckip_count"),
+        (F.sum("_gm") - F.sum("_hall")).cast("long").alias("gemini_count"),
+        F.sum("_hall").cast("long").alias("gemini_hallucination"),
+        F.sum("_inter").cast("long").alias("intersection"),
+        (F.sum("_ck") + F.sum("_gm") - F.sum("_hall") - F.sum("_inter"))
+        .cast("long")
+        .alias("union_count"),
+    )

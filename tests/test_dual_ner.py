@@ -95,6 +95,26 @@ def test_union_covers_llm_dropout(ref):
     assert ckip != gemini
 
 
+def test_ner_overlap_audit(spark, expanded):
+    """The reference's overlap() audit as one aggregation: identities hold
+    (union = ckip + clean-gemini − intersection) and hallucinations exist
+    (the score_ner_llm noise path) but are a small minority."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.diagnostics import (
+        ner_overlap_audit,
+    )
+
+    row = ner_overlap_audit(expanded).collect()[0]
+    assert row["ckip_count"] > 0 and row["gemini_count"] > 0
+    assert (
+        row["union_count"]
+        == row["ckip_count"] + row["gemini_count"] - row["intersection"]
+    )
+    assert 0 <= row["gemini_hallucination"] < 0.1 * row["gemini_count"]
+    # CKIP keeps title-suffixed surface forms the LLM normalizes away, so
+    # the intersection is strictly smaller than either source
+    assert row["intersection"] < row["ckip_count"]
+
+
 def test_single_source_default_unchanged(spark, docs, expanded):
     """ner_sources=('ckip',) (the flagship default) produces identical
     merge_label output to the multi-source run — the extra sources are
