@@ -1035,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_banded_near_dups": _ann_banded_sql(),
         # kg_triples / kg_nodes / kg_edges / kg_ner_re_replay /
-        # kg_generation_replay / media_features:
+        # kg_generation_replay / kg_union_expansion / media_features:
         # non-SQL-expressible (deterministic scorer pipeline, iterative
         # connected components, Arrow binary plumbing) → rows-only check;
         # their correctness gate is tests/test_pipeline_e2e.py +

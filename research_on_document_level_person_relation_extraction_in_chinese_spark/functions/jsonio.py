@@ -25,11 +25,12 @@ def export_csv_compat(df: DataFrame, array_cols: list[str]) -> DataFrame:
     return out
 
 
-def import_csv_compat(df: DataFrame, col_types: dict[str, str] | None = None) -> DataFrame:
-    """JSON-in-string columns → nested types. ``col_types`` maps column name
-    to a DDL type string; default assumes ternary arrays."""
+def import_csv_compat(df: DataFrame, col_types: dict[str, str]) -> DataFrame:
+    """JSON-in-string columns → nested types. ``col_types`` maps each column
+    name to its DDL type string (e.g. ``{"merge_label": TERNARY_T}``);
+    columns not listed pass through unchanged."""
     out = df
-    for c, t in (col_types or {}).items():
+    for c, t in col_types.items():
         out = out.withColumn(c, F.from_json(F.col(c), t))
     return out
 

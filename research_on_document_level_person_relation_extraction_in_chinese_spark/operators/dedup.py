@@ -109,6 +109,8 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int | None = None,
     threshold: float = 0.6,
+    verify: str = "auto",
+    dense_vocab_limit: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
 
@@ -117,6 +119,10 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id, rounded to 4 decimals.
     ``bands=None`` derives (bands, rows) from ``threshold`` via the LSH
     S-curve rule (``lsh_params``) instead of per-dataset hand-tuning.
+    ``verify``: 'dense' (popcount over bit masks, small vocab only),
+    'inverted' (inverted-index count join — the open-vocab scale path;
+    pass this explicitly at 100 TB to skip the vocab probe), or 'auto'
+    (one bounded distinct-collect decides).
     """
     if bands is None:
         bands, _ = lsh_params(threshold, k)
@@ -145,10 +151,23 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verify, adaptive like ngram_jaccard_pairs:
     sh_flat = base.select(F.col("id"), F.explode("sh").alias("s"))
-    vocab = [
-        r["s"] for r in sh_flat.select("s").distinct().limit(4097).collect()
-    ]
-    if len(vocab) <= 4096:
+    vocab: list[str] = []
+    if verify == "auto":
+        vocab = [
+            r["s"]
+            for r in sh_flat.select("s").distinct().limit(dense_vocab_limit + 1).collect()
+        ]
+        # empty vocab (no doc long enough to shingle) → no candidates can
+        # share anything; the inverted path returns empty without a crash
+        verify = "dense" if 0 < len(vocab) <= dense_vocab_limit else "inverted"
+    if verify == "dense":
+        if not vocab:
+            vocab = [
+                r["s"]
+                for r in sh_flat.select("s").distinct().limit(dense_vocab_limit + 1).collect()
+            ]
+        if not (0 < len(vocab) <= dense_vocab_limit):
+            raise ValueError(f"dense verify needs 0 < vocab ≤ {dense_vocab_limit}")
         # dense popcount verify — candidates join the mask table twice
         # (masks scale with DOC count, so no broadcast hint: AQE broadcasts
         # when small, shuffles when not); |A∩B| is AND+popcount per
@@ -161,16 +180,17 @@ def minhash_lsh_pairs(
         joined = (
             cand.join(masks.alias("a"), cand.a_id == F.col("a.id"))
             .join(masks.alias("b"), cand.b_id == F.col("b.id"))
-            .withColumn("n_common", _popcount_common(n_words))
-        )
-        union = F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_common")
-        return (
-            joined.withColumn(
-                "jaccard", F.round(F.col("n_common").cast("double") / union, 4)
+            .select(
+                "a_id",
+                "b_id",
+                _popcount_common(n_words).alias("n_common"),
+                F.col("a.n_sh").alias("a_sz"),
+                F.col("b.n_sh").alias("b_sz"),
             )
-            .where(F.col("jaccard") >= threshold)
-            .select("a_id", "b_id", "jaccard")
         )
+        return _jaccard_select(joined, threshold)
+    if verify != "inverted":
+        raise ValueError(f"unknown verify {verify!r}")
     # open-vocabulary verify via the inverted index: candidate pairs joined
     # to the exploded shingle table twice and counted — no shingle ARRAYS
     # ever shuffle to the pair side
@@ -182,11 +202,13 @@ def minhash_lsh_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = F.broadcast(base.select("id", F.size("sh").alias("n_sh")))
-    joined = (
-        n_common.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
-        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "b_sz"), "b_id")
-    )
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    return _jaccard_from_counts(n_common, sizes, threshold)
+
+
+def _jaccard_select(joined: DataFrame, threshold: float) -> DataFrame:
+    """(a_id, b_id, n_common, a_sz, b_sz) → thresholded (a_id, b_id, jaccard)
+    — the ONE place the rounding/threshold contract of the SQL oracles lives."""
     union = F.col("a_sz") + F.col("b_sz") - F.col("n_common")
     return (
         joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
@@ -196,18 +218,14 @@ def minhash_lsh_pairs(
 
 
 def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    """(a_id, b_id, n_common) + per-doc set sizes → thresholded Jaccard."""
-    sz = F.broadcast(sizes)
+    """(a_id, b_id, n_common) + per-doc set sizes → thresholded Jaccard.
+    No broadcast hint on sizes — it scales with DOC count (AQE broadcasts
+    when genuinely small)."""
     joined = (
-        inter.join(sz.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
-        .join(sz.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "b_sz"), "b_id")
+        inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "b_sz"), "b_id")
     )
-    union = F.col("a_sz") + F.col("b_sz") - F.col("n_common")
-    return (
-        joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _jaccard_select(joined, threshold)
 
 
 def _inverted_index_counts(sh: DataFrame, threshold: float, prefix_filter: bool) -> DataFrame:
@@ -312,15 +330,16 @@ def _dense_jaccard_pairs(sh: DataFrame, vocab: list[str], threshold: float) -> D
     joined = (
         a.join(b, on="blk")
         .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("n_common", _popcount_common(n_words))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            _popcount_common(n_words).alias("n_common"),
+            F.col("a.n_sh").alias("a_sz"),
+            F.col("b.n_sh").alias("b_sz"),
+        )
         .where(F.col("n_common") > 0)
     )
-    union = F.col("a.n_sh") + F.col("b.n_sh") - F.col("n_common")
-    return (
-        joined.withColumn("jaccard", F.round(F.col("n_common").cast("double") / union, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "jaccard")
-    )
+    return _jaccard_select(joined, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -365,10 +384,12 @@ def ngram_jaccard_pairs(
             for r in sh.select("sh").distinct().limit(dense_vocab_limit + 1).collect()
         ]
         if strategy == "auto":
-            strategy = "dense" if len(vocab) <= dense_vocab_limit else "prefix"
-        elif len(vocab) > dense_vocab_limit:
+            # empty vocab (no shingle-able text) → the prefix path returns
+            # empty gracefully; dense would have zero mask words
+            strategy = "dense" if 0 < len(vocab) <= dense_vocab_limit else "prefix"
+        elif not (0 < len(vocab) <= dense_vocab_limit):
             raise ValueError(
-                f"dense strategy needs vocab ≤ {dense_vocab_limit}, got more"
+                f"dense strategy needs 0 < vocab ≤ {dense_vocab_limit}"
             )
 
     if strategy == "dense":

@@ -82,20 +82,27 @@ def ner_overlap_audit(expanded: DataFrame) -> DataFrame:
     Python. Requires a dual-NER expanded frame (``ner_sources`` incl. ckip +
     gemini) filtered to non-empty merge labels like the reference."""
     doc = F.col("trad_text")
-    halluc = F.size(F.filter("gemini_ner", lambda x: ~doc.contains(x)))
-    inter = F.size(F.array_intersect("ckip_entity", "gemini_ner"))
+    clean = F.filter("gemini_ner", lambda x: doc.contains(x))
     base = expanded.filter(F.size("merge_label") > 0).select(
+        "ckip_entity",
         F.size("ckip_entity").alias("_ck"),
         F.size("gemini_ner").alias("_gm"),
-        halluc.alias("_hall"),
-        inter.alias("_inter"),
+        clean.alias("_clean"),
+    ).select(
+        "_ck",
+        (F.col("_gm") - F.size("_clean")).alias("_hall"),
+        F.size("_clean").alias("_gm_clean"),
+        # intersection/union vs the CLEAN gemini set (the reference skips
+        # hallucinated names before comparing, gemini_expansion.py:264-267);
+        # both MEASURED, not derived, so a name that is simultaneously
+        # hallucinated and lexically equal to a ckip form can't double-count
+        F.size(F.array_intersect("ckip_entity", "_clean")).alias("_inter"),
+        F.size(F.array_union("ckip_entity", "_clean")).alias("_union"),
     )
     return base.agg(
         F.sum("_ck").cast("long").alias("ckip_count"),
-        (F.sum("_gm") - F.sum("_hall")).cast("long").alias("gemini_count"),
+        F.sum("_gm_clean").cast("long").alias("gemini_count"),
         F.sum("_hall").cast("long").alias("gemini_hallucination"),
         F.sum("_inter").cast("long").alias("intersection"),
-        (F.sum("_ck") + F.sum("_gm") - F.sum("_hall") - F.sum("_inter"))
-        .cast("long")
-        .alias("union_count"),
+        F.sum("_union").cast("long").alias("union_count"),
     )

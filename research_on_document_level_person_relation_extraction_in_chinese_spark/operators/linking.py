@@ -104,16 +104,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.union(self_link).where(F.col("src") != F.col("dst")).distinct()
 
 
-def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        # per-edge hash reduced mod P before summing (ANSI-safe: no overflow
-        # below ~9e9 edges per partition sum)
-        F.coalesce(
-            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _edges_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact set equality of two (already deduped, localCheckpointed) edge
+    frames — a probabilistic checksum could collide and declare convergence
+    one round early, silently splitting an entity."""
+    if a.count() != b.count():
+        return False
+    return a.exceptAll(b).limit(1).count() == 0
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -127,15 +124,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 
     not reached a fixpoint within ``max_iter`` rounds — unconverged labels
     would silently split entities."""
     e = _canonical_edges(edges).localCheckpoint(eager=True)
-    prev = _edge_checksum(e)
     converged = False
     for _ in range(max_iter):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _edge_checksum(e)
-        if cur == prev:
+        if _edges_equal(e, prev_e):
             converged = True
             break
-        prev = cur
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

@@ -136,7 +136,10 @@ def hash_balanced_sample(
     uniform key.
     """
     pos = df.where(is_positive)
-    neg = df.where(~is_positive)
+    # NULL keys cannot be hash-ranked (md5(NULL) is NULL); excluding them is
+    # the documented contract — they would otherwise poison the driver-side
+    # bucket map and silently never be sampled
+    neg = df.where(~is_positive).where(F.col(key).isNotNull())
     n_pos = pos.count()
 
     h = _md5_rank_hash(key, seed)

@@ -131,3 +131,30 @@ def test_dense_rejects_large_vocab(spark, zipf_docs):
             zipf_docs, block_col="source", n=3, threshold=0.5,
             strategy="dense", dense_vocab_limit=10,
         )
+
+
+def test_empty_and_short_inputs(spark):
+    """Degenerate inputs (empty frame; every text shorter than n) must yield
+    empty results, not crash — the auto paths fall back gracefully."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    short = spark.createDataFrame(
+        [(1, "b", "ab"), (2, "b", "x")], "doc_id int, source string, text string"
+    )
+    assert ngram_jaccard_pairs(short, block_col="source", n=3).count() == 0
+    assert minhash_lsh_pairs(short, n=3, k=8, bands=2, threshold=0.5).count() == 0
+    empty = short.where("doc_id < 0")
+    assert ngram_jaccard_pairs(empty, block_col="source", n=3).count() == 0
+
+
+def test_minhash_verify_strategies_agree(spark, zipf_docs):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    kw = dict(n=3, k=8, bands=4, threshold=0.5)
+    dense = sorted(map(tuple, minhash_lsh_pairs(zipf_docs, verify="dense", **kw).collect()))
+    inv = sorted(map(tuple, minhash_lsh_pairs(zipf_docs, verify="inverted", **kw).collect()))
+    assert dense == inv and len(dense) >= 3

@@ -52,6 +52,17 @@ def test_balanced_no_negatives_edge(spark):
     assert class_balanced_pairs(df).count() == 1
 
 
+def test_balanced_null_keys_excluded(spark):
+    """NULL keys cannot be hash-ranked: they are excluded from the negative
+    sample (documented contract) instead of crashing the bucket map."""
+    rows = [("a", "親屬"), ("b", "沒有"), (None, "沒有"), ("c", "沒有")]
+    df = spark.createDataFrame(rows, "pair_id string, re_label string")
+    bal = class_balanced_pairs(df).collect()
+    keys = {r["pair_id"] for r in bal}
+    assert None not in keys
+    assert sum(1 for r in bal if r["re_label"] == "沒有") == 1
+
+
 def test_balanced_matches_global_sort_rank(spark, labeled):
     """The two-phase bucketed rank equals the straight global-window rank
     (the single-partition formulation the SQL oracle uses)."""
