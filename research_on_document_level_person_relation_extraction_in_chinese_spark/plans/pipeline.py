@@ -28,6 +28,30 @@ from ..operators.taxonomy import build_taxonomy, remap_relations
 from ..sources.catalog import StageCatalog
 
 
+#: bounded managed-persist pool: at most ONE expansion frame's annotate scan
+#: is cached at a time — each expanded_frame(cache=True) call evicts the
+#: previous call's block before persisting its own (round-2 verdict: a
+#: long-lived driver looping extract_triples(cache=True) used to accumulate
+#: storage blocks without bound).
+_MANAGED_PERSISTS: list[DataFrame] = []
+
+
+def _persist_managed(df: DataFrame) -> DataFrame:
+    """Persist ``df`` after unpersisting any frame a previous
+    ``expanded_frame(cache=True)`` call left cached. Callers that need two
+    expansion frames alive simultaneously must pass ``cache=False`` and
+    manage persistence themselves (the documented contract)."""
+    while _MANAGED_PERSISTS:
+        stale = _MANAGED_PERSISTS.pop()
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # session of the stale frame may already be stopped
+    p = df.persist()
+    _MANAGED_PERSISTS.append(p)
+    return p
+
+
 def expanded_frame(
     docs: DataFrame,
     scorer: str = "deterministic",
@@ -44,8 +68,9 @@ def expanded_frame(
         # parsed is consumed twice (taxonomy barrier + main chain); persisting
         # avoids re-running the scorer scan per job. The checkpointed
         # (StageCatalog) path is the 100-TB equivalent — a stage table on
-        # disk instead of executor memory.
-        parsed = parsed.persist()
+        # disk instead of executor memory. Managed: the previous call's
+        # cached frame is evicted (bounded storage across repeated calls).
+        parsed = _persist_managed(parsed)
     taxonomy = build_taxonomy(parsed, scorer=scorer)  # global barrier (tiny)
     remapped = remap_relations(parsed, taxonomy)
     cons = fused_consensus_stage(remapped, scorer=scorer)
@@ -119,6 +144,15 @@ def run_pipeline(
         for r in rows:
             out["n_docs"] += r["count"]
             out[f"gemini={r['gemini_has_relation']},gpt={r['gpt_has_relation']}"] = r["count"]
+        # M1 retry loop: docs whose answer needed re-instruction retries
+        retry = df.agg(
+            *[
+                F.sum((F.col(f"{ann}_attempts") > 1).cast("int")).alias(ann)
+                for ann in ("gemini", "gpt")
+            ]
+        ).collect()[0]
+        for ann in ("gemini", "gpt"):
+            out[f"{ann}_retried_docs"] = int(retry[ann] or 0)
         return out
 
     parsed = checkpoint(

@@ -55,27 +55,17 @@ def _bucket(text: str, salt: str, mod: int) -> int:
     return int.from_bytes(h[:4], "big") % mod
 
 
-def score_detect(text: str, annotator: str) -> tuple[str, str]:
-    """One document → (has_relation status, answer text).
+DETECT_MAX_TRIES = 5  # reference multi_thread_gemini_api.py:148 (5 tries)
+#: re-instruction the reference appends to the chat after a bad-format answer
+#: before retrying (``multi_thread_gemini_api.py:163-170``). The deterministic
+#: stand-in feeds it back into the bucket salt so attempt k > 1 is a genuinely
+#: different (and here, well-formed) draw, like a re-prompted model.
+REINSTRUCT = "請嚴格按照「有 (人名,人名,關係)」的格式重新回答"
 
-    Statuses replicate the reference's terminal states
-    (``multi_thread_gemini_api.py:186-195``): 有 / 無 / 請重新嘗試 / 無法識別.
-    Annotators ``taide`` (M3) and ``fewshot`` (M4) dispatch to their prompt
-    variants; ``gemini``/``gpt`` are the standard detection schema
-    (prompts.DETECT_PROMPT).
-    """
-    if annotator == "taide":
-        return score_detect_taide(text)
-    if annotator == "fewshot":
-        return score_detect_fewshot(text)
-    doc = text[:MAX_DETECT_CHARS]
-    # rare deterministic API-failure statuses (≈1%)
-    b = _bucket(doc, annotator + ":status", 199)
-    if b == 0:
-        return STATUS_RETRY, ""
-    if b == 1:
-        return STATUS_UNRECOGNIZED, ""
 
+def _detect_answer(doc: str, annotator: str) -> tuple[str, str]:
+    """The well-formed detection answer for a doc (status 有/無) — byte-stable
+    across rounds; the retry loop converges to exactly this text."""
     instances = find_instances(doc, blind_tids=BLIND_TIDS[annotator])
     if annotator == "gpt" and instances and _bucket(doc, "gpt:fp", 23) == 0:
         # deterministic false positive: misread relation word (exercises
@@ -94,6 +84,85 @@ def score_detect(text: str, annotator: str) -> tuple[str, str]:
         else:
             parts.append(f"({p1}{sep}{p2}{sep}{rel})")
     return HAS_RELATION, HAS_RELATION + "\n" + "\n".join(parts)
+
+
+def _malformed_answer(doc: str, annotator: str) -> str:
+    """A deterministic bad-format first answer (fails
+    ``check_detection_format``): a 2-tuple when the doc has instances, free
+    prose otherwise — the two malformation families the reference's format
+    check rejects (``multi_thread_gemini_api.py:199-214``)."""
+    instances = find_instances(doc, blind_tids=BLIND_TIDS[annotator])
+    if instances:
+        p1, p2, _, _ = instances[0]
+        return f"{HAS_RELATION} ({p1},{p2})"
+    return "這篇文章主要在描述近期的社會議題與相關發展。"
+
+
+def _detect_bad_attempts(doc: str, annotator: str) -> int:
+    """How many leading attempts answer malformed for this (doc, annotator):
+    0 for most docs, 1 for ~1.6% (retry recovers on attempt 2),
+    DETECT_MAX_TRIES for the legacy :status bucket (retry exhaustion →
+    請重新嘗試), -1 for the blocked/unrecognized bucket (無法識別)."""
+    b = _bucket(doc, annotator + ":status", 199)
+    if b == 0:
+        return DETECT_MAX_TRIES
+    if b == 1:
+        return -1
+    if _bucket(doc, annotator + ":badfmt", 61) == 0:
+        return 1
+    return 0
+
+
+def score_detect_with_attempts(text: str, annotator: str) -> tuple[str, str, int]:
+    """One document → (has_relation status, answer text, attempts used).
+
+    Implements the reference's retry-with-re-instruction loop
+    (``multi_thread_gemini_api.py:148-183``): up to DETECT_MAX_TRIES tries;
+    a bad-format answer is appended to the chat with REINSTRUCT and re-asked;
+    請重新嘗試 is the retry-EXHAUSTION status (all tries malformed), 無法識別
+    the blocked-response status. Terminal statuses replicate
+    ``multi_thread_gemini_api.py:186-195``: 有 / 無 / 請重新嘗試 / 無法識別.
+    Deterministic: the number of leading malformed tries is doc-keyed, and
+    the recovered answer equals the well-formed draw byte-for-byte (so
+    downstream parity is invariant to where in the loop an answer lands).
+    """
+    if annotator == "taide":
+        status, output = score_detect_taide(text)
+        return status, output, 1
+    if annotator == "fewshot":
+        status, output = score_detect_fewshot(text)
+        return status, output, 1
+    doc = text[:MAX_DETECT_CHARS]
+    bad = _detect_bad_attempts(doc, annotator)
+    if bad < 0:
+        return STATUS_UNRECOGNIZED, "", 1
+    from ..functions.parse import check_detection_format
+
+    answer = ""
+    for attempt in range(1, DETECT_MAX_TRIES + 1):
+        if attempt <= bad:
+            answer = _malformed_answer(doc, annotator)
+        else:
+            _, answer = _detect_answer(doc, annotator)
+        if check_detection_format(answer):
+            status = HAS_RELATION if answer.startswith(HAS_RELATION) else NO_RELATION
+            return status, answer, attempt
+        # bad format → the chat gains (answer, REINSTRUCT) and we re-ask
+    return STATUS_RETRY, "", DETECT_MAX_TRIES
+
+
+def score_detect(text: str, annotator: str) -> tuple[str, str]:
+    """One document → (has_relation status, answer text).
+
+    Statuses replicate the reference's terminal states
+    (``multi_thread_gemini_api.py:186-195``): 有 / 無 / 請重新嘗試 / 無法識別.
+    Annotators ``taide`` (M3) and ``fewshot`` (M4) dispatch to their prompt
+    variants; ``gemini``/``gpt`` are the standard detection schema
+    (prompts.DETECT_PROMPT) and run the retry/re-instruction loop
+    (``score_detect_with_attempts``).
+    """
+    status, output, _attempts = score_detect_with_attempts(text, annotator)
+    return status, output
 
 
 def score_verify(text: str, triples: list[tuple[str, str, str]]) -> str:

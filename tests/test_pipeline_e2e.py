@@ -83,6 +83,18 @@ def test_linking_and_graph(spark, docs):
     assert nodes.where(F.size("aliases") > 1).count() > 0
 
 
+def test_repeated_extract_no_persist_leak(spark):
+    """Round-2 verdict item: a driver looping extract_triples(cache=True)
+    must not accumulate storage blocks — the managed-persist pool keeps at
+    most one expansion frame cached."""
+    small = generate_corpus(spark, 30, seed=7)
+    baseline = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    for _ in range(10):
+        extract_triples(small, cache=True).count()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= baseline + 1, (baseline, after)
+
+
 def test_checkpoint_resume(spark, docs, tmp_path):
     cat = StageCatalog(str(tmp_path / "stages"))
     r1 = run_pipeline(spark, docs, catalog=cat, with_metrics=True)

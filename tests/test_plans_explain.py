@@ -80,6 +80,29 @@ def test_banded_ann_plan_shape(spark):
         assert python_node not in plan
 
 
+def test_embedding_near_dups_banded_plan(spark):
+    """Round-2 verdict item: ``embedding_near_dups`` must no longer carry the
+    per-bucket all-pairs self-join (the O(N²/8) sign-prefix blocking) — the
+    plan is the banded OR-amplified scheme: all four band buckets present,
+    no cartesian/nested-loop product, pure JVM expressions."""
+    plan = _plan(entry_mod.q_embedding_near_dups(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the banded scheme's signature shape: a Union of per-band bucket joins
+    # feeding a candidate-pair distinct (the old plan was ONE self-join on a
+    # single bucket column — no Union, no distinct aggregate)
+    assert "Union" in plan
+    assert "HashAggregate" in plan  # candidate distinct
+    n_join_nodes = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip("+:- ").startswith(("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    )
+    assert n_join_nodes >= 6, plan  # 4 band joins + 2 verify joins
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+
+
 def test_simhash_near_dups_plan_shape(spark):
     plan = _plan(entry_mod.q_simhash_near_dups(spark, SF_DIR))
     assert "CartesianProduct" not in plan

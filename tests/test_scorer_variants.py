@@ -106,6 +106,57 @@ def test_three_annotator_stage(spark):
     assert 0 < agg["n_majority"] < agg["n"]
 
 
+def test_detect_retry_reinstruction_loop():
+    """M1 retry loop (reference multi_thread_gemini_api.py:148-183): a doc
+    whose first answer is malformed recovers on attempt 2 with the SAME
+    well-formed answer a clean doc would get; 請重新嘗試 is reserved for
+    retry exhaustion (all 5 tries malformed)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.functions.parse import (
+        check_detection_format,
+    )
+
+    doc_retry = doc_exhaust = None
+    for i in range(200_000):
+        doc = KIN + f"備註編號{i}。"
+        bad = det._detect_bad_attempts(doc[: det.MAX_DETECT_CHARS], "gemini")
+        if bad == 1 and doc_retry is None:
+            doc_retry = doc
+        elif bad == det.DETECT_MAX_TRIES and doc_exhaust is None:
+            doc_exhaust = doc
+        if doc_retry and doc_exhaust:
+            break
+    assert doc_retry and doc_exhaust
+
+    status, output, attempts = det.score_detect_with_attempts(doc_retry, "gemini")
+    assert attempts == 2
+    assert status == HAS_RELATION
+    assert check_detection_format(output)
+    # the attempt-1 draw was genuinely rejected by the format check
+    first = det._malformed_answer(doc_retry[: det.MAX_DETECT_CHARS], "gemini")
+    assert not check_detection_format(first)
+    # the recovered answer equals the clean-path answer byte-for-byte
+    _, clean = det._detect_answer(doc_retry[: det.MAX_DETECT_CHARS], "gemini")
+    assert output == clean
+
+    status, output, attempts = det.score_detect_with_attempts(doc_exhaust, "gemini")
+    assert status == STATUS_RETRY
+    assert output == ""
+    assert attempts == det.DETECT_MAX_TRIES
+
+
+def test_attempts_column_surfaced(spark):
+    """The fused annotate stage exposes the per-annotator attempt counter."""
+    docs = generate_corpus(spark, 80, seed=42)
+    ann = annotate_parse_stage(
+        docs.filter(F.col("lang") == "zh").select("url", "text")
+    )
+    assert "gemini_attempts" in ann.columns and "gpt_attempts" in ann.columns
+    row = ann.agg(
+        F.min("gemini_attempts").alias("lo"), F.max("gemini_attempts").alias("hi")
+    ).collect()[0]
+    assert row["lo"] >= 1 and row["hi"] <= det.DETECT_MAX_TRIES
+
+
 def test_prompt_schema_placeholders():
     """Every template keeps the placeholders its call site fills — the
     formatted prompt is the scorer's input contract."""
