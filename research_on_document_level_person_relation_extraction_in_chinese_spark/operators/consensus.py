@@ -56,9 +56,18 @@ def to_traditional_triples_dual(gemini: pd.Series, gpt: pd.Series) -> pd.DataFra
     )
 
 
-def consensus_stage(parsed: DataFrame, scorer: str = "deterministic") -> DataFrame:
+def consensus_stage(
+    parsed: DataFrame,
+    scorer: str = "deterministic",
+    strict_verify_failure: bool = False,
+) -> DataFrame:
     """+ per-annotator trad/checked/not_pass/verify_error columns and the
-    merged ``consensus_label`` / ``consensus_entities``."""
+    merged ``consensus_label`` / ``consensus_entities``.
+
+    ``strict_verify_failure``: train semantics (False — unverifiable triples
+    dropped per-triple, reference ``train/postprecess.py:36-44``) vs the
+    test-corpus semantics (True — 驗證過程有誤 zeroes the whole document's
+    label, reference ``test/postprecess_other.py:24-31``)."""
     mod = get_scorer(scorer)
     df = parsed.withColumn(
         "_trad", to_traditional_triples_dual(F.col("gemini_ternary"), F.col("gpt_ternary"))
@@ -139,6 +148,9 @@ def consensus_stage(parsed: DataFrame, scorer: str = "deterministic") -> DataFra
         )
     merged = F.array_distinct(F.concat(F.col("gemini_checked"), F.col("gpt_checked")))
     merged = F.filter(merged, lambda t: t["subj"] != t["obj"])
+    if strict_verify_failure:
+        any_err = F.col("gemini_verify_error") | F.col("gpt_verify_error")
+        merged = F.when(any_err, F.slice(merged, 1, 0)).otherwise(merged)
     df = df.withColumn("consensus_label", merged)
     df = df.withColumn(
         "consensus_entities",

@@ -102,18 +102,19 @@ def annotate_parse_stage(
     return df.drop("_ap")
 
 
-_CONSENSUS_DT = StructType(
-    [
-        StructField("gemini_ternary_trad", TERNARY_DT),
-        StructField("gpt_ternary_trad", TERNARY_DT),
-        StructField("gemini_checked", TERNARY_DT),
-        StructField("gpt_checked", TERNARY_DT),
-        StructField("gemini_not_pass", TERNARY_DT),
-        StructField("gpt_not_pass", TERNARY_DT),
-        StructField("gemini_verify_error", BooleanType()),
-        StructField("gpt_verify_error", BooleanType()),
-    ]
-)
+def _consensus_dt(annotators: tuple[str, ...]) -> StructType:
+    return StructType(
+        [
+            StructField(f"{ann}_{part}", typ)
+            for ann in annotators
+            for part, typ in (
+                ("ternary_trad", TERNARY_DT),
+                ("checked", TERNARY_DT),
+                ("not_pass", TERNARY_DT),
+                ("verify_error", BooleanType()),
+            )
+        ]
+    )
 
 
 def _trad(triples) -> list[tuple[str, str, str]]:
@@ -131,19 +132,31 @@ def _as_dicts(triples) -> list[dict]:
     return [{"subj": s, "obj": o, "rel": r} for s, o, r in triples]
 
 
-def make_consensus_udf(scorer: str = "deterministic"):
+def make_consensus_udf(
+    scorer: str = "deterministic", annotators: tuple[str, ...] = ("gemini", "gpt")
+):
     """Node 2: trad conversion, intersect/xor (array_intersect/array_except
-    semantics), and verification of disagreed triples."""
+    semantics), and verification of disagreed triples — generalized to k
+    annotators: a triple is 'correct' when ANY other annotator also emitted
+    it (for k=2 this is exactly the reference's pairwise cross-comparison,
+    ``train/postprecess.py:151-188``); only nobody-else's triples go to
+    verification. The annotators' ternary arrays arrive packed in ONE struct
+    column so the Arrow crossing stays a single node at any k."""
     mod = get_scorer(scorer)
 
-    @pandas_udf(_CONSENSUS_DT)
-    def consensus_udf(text: pd.Series, g_tern: pd.Series, p_tern: pd.Series) -> pd.DataFrame:
+    @pandas_udf(_consensus_dt(annotators))
+    def consensus_udf(text: pd.Series, terns: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for t, g, p in zip(text, g_tern, p_tern):
-            gt, pt = _trad(g), _trad(p)
-            gset, pset = set(gt), set(pt)
-            row = {"gemini_ternary_trad": _as_dicts(gt), "gpt_ternary_trad": _as_dicts(pt)}
-            for ann, mine, theirs in (("gemini", gt, pset), ("gpt", pt, gset)):
+        for i, t in enumerate(text):
+            trad = {ann: _trad(terns[ann].iloc[i]) for ann in annotators}
+            sets = {ann: set(v) for ann, v in trad.items()}
+            row = {}
+            for ann in annotators:
+                mine = trad[ann]
+                theirs: set = set()
+                for other in annotators:
+                    if other != ann:
+                        theirs |= sets[other]
                 correct = [x for x in mine if x in theirs]
                 wrong = [x for x in mine if x not in theirs]
                 passed, failed, err = [], [], False
@@ -155,6 +168,7 @@ def make_consensus_udf(scorer: str = "deterministic"):
                     else:
                         passed = [w for w, ok in zip(wrong, verdicts) if ok]
                         failed = [w for w, ok in zip(wrong, verdicts) if not ok]
+                row[f"{ann}_ternary_trad"] = _as_dicts(mine)
                 row[f"{ann}_checked"] = _as_dicts(correct + passed)
                 row[f"{ann}_not_pass"] = _as_dicts(failed)
                 row[f"{ann}_verify_error"] = err
@@ -164,19 +178,38 @@ def make_consensus_udf(scorer: str = "deterministic"):
     return consensus_udf
 
 
-def fused_consensus_stage(parsed: DataFrame, scorer: str = "deterministic") -> DataFrame:
+def fused_consensus_stage(
+    parsed: DataFrame,
+    scorer: str = "deterministic",
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+    strict_verify_failure: bool = False,
+) -> DataFrame:
     """Same output contract as operators.consensus.consensus_stage (minus the
-    intermediate wrong/pass columns); merge/dedup/entities stay JVM-side."""
-    udf = make_consensus_udf(scorer)
-    df = parsed.withColumn(
-        "_cons", udf(F.col("text"), F.col("gemini_ternary"), F.col("gpt_ternary"))
-    )
-    for field in _CONSENSUS_DT.fieldNames():
+    intermediate wrong/pass columns); merge/dedup/entities stay JVM-side.
+
+    ``strict_verify_failure=False`` is the train-corpus semantics: an
+    annotator's unverifiable triples are dropped per-triple
+    (reference ``train/postprecess.py:36-44``). ``True`` is the test-corpus
+    semantics: 驗證過程有誤 on ANY annotator zeroes the WHOLE document's
+    consensus label (reference ``test/postprecess_other.py:24-31`` — SURVEY
+    §3.2 calls out the divergence)."""
+    udf = make_consensus_udf(scorer, annotators)
+    packed = F.struct(*[F.col(f"{ann}_ternary").alias(ann) for ann in annotators])
+    df = parsed.withColumn("_cons", udf(F.col("text"), packed))
+    for field in _consensus_dt(annotators).fieldNames():
         df = df.withColumn(field, F.col(f"_cons.{field}"))
     df = df.drop("_cons")
 
-    merged = F.array_distinct(F.concat(F.col("gemini_checked"), F.col("gpt_checked")))
+    merged = F.array_distinct(
+        F.concat(*[F.col(f"{ann}_checked") for ann in annotators])
+    )
     merged = F.filter(merged, lambda t: t["subj"] != t["obj"])
+    if strict_verify_failure:
+        any_err = None
+        for ann in annotators:
+            col = F.col(f"{ann}_verify_error")
+            any_err = col if any_err is None else (any_err | col)
+        merged = F.when(any_err, F.slice(merged, 1, 0)).otherwise(merged)
     df = df.withColumn("consensus_label", merged)
     return df.withColumn(
         "consensus_entities",

@@ -57,13 +57,21 @@ def expanded_frame(
     scorer: str = "deterministic",
     cache: bool = True,
     ner_sources: tuple[str, ...] = ("ckip",),
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+    strict_verify_failure: bool = False,
 ) -> DataFrame:
     """zh docs → fully expanded document frame (annotate → parse → taxonomy →
     consensus → expansion → merge labels), uncheckpointed. ``ner_sources``
     selects the expansion NER variants (ckip / gemini / union golden column
-    families — reference README.md cols 20–31)."""
+    families — reference README.md cols 20–31). ``annotators`` selects the
+    detection models (k-annotator consensus; must include gemini + gpt —
+    the expansion stage's already-labeled anti-join reads their trad
+    columns, reference ``ckip_expansion.py:71-76``). ``strict_verify_failure``
+    switches consensus to the test-corpus whole-doc-zeroing semantics."""
+    if not {"gemini", "gpt"} <= set(annotators):
+        raise ValueError("annotators must include 'gemini' and 'gpt'")
     zh = docs.filter(F.col("lang") == "zh").select("url", "text")
-    parsed = annotate_parse_stage(zh, scorer=scorer)
+    parsed = annotate_parse_stage(zh, scorer=scorer, annotators=annotators)
     if cache:
         # parsed is consumed twice (taxonomy barrier + main chain); persisting
         # avoids re-running the scorer scan per job. The checkpointed
@@ -71,9 +79,16 @@ def expanded_frame(
         # disk instead of executor memory. Managed: the previous call's
         # cached frame is evicted (bounded storage across repeated calls).
         parsed = _persist_managed(parsed)
-    taxonomy = build_taxonomy(parsed, scorer=scorer)  # global barrier (tiny)
-    remapped = remap_relations(parsed, taxonomy)
-    cons = fused_consensus_stage(remapped, scorer=scorer)
+    taxonomy = build_taxonomy(parsed, annotators=annotators, scorer=scorer)  # global barrier (tiny)
+    remapped = remap_relations(
+        parsed, taxonomy, cols=tuple(f"{ann}_ternary" for ann in annotators)
+    )
+    cons = fused_consensus_stage(
+        remapped,
+        scorer=scorer,
+        annotators=annotators,
+        strict_verify_failure=strict_verify_failure,
+    )
     cons_docs = cons.filter(F.size("consensus_label") > 0)
     return expansion_stage(cons_docs, scorer=scorer, ner_sources=ner_sources)
 
@@ -88,11 +103,25 @@ def triples_from_expanded(expanded: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(docs: DataFrame, scorer: str = "deterministic", cache: bool = True) -> DataFrame:
+def extract_triples(
+    docs: DataFrame,
+    scorer: str = "deterministic",
+    cache: bool = True,
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+    strict_verify_failure: bool = False,
+) -> DataFrame:
     """Flagship query: all person-relation triples in the corpus.
     ``cache=False`` for callers that loop (streaming foreachBatch) — avoids
     accumulating persisted blocks across invocations."""
-    return triples_from_expanded(expanded_frame(docs, scorer, cache=cache))
+    return triples_from_expanded(
+        expanded_frame(
+            docs,
+            scorer,
+            cache=cache,
+            annotators=annotators,
+            strict_verify_failure=strict_verify_failure,
+        )
+    )
 
 
 def run_pipeline(

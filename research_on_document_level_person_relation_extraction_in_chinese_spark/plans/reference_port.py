@@ -25,10 +25,24 @@ from ..operators.re_replay import replay_one_doc
 from ..scorers import get_scorer
 
 
-def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict[str, list]:
+def run_reference_logic(
+    docs: list[dict],
+    scorer: str = "deterministic",
+    annotators: tuple[str, ...] = ("gemini", "gpt"),
+    strict_verify_failure: bool = False,
+) -> dict[str, list]:
     """docs: [{url, text, lang}] → {"merge": [(url,subj,obj,rel)...],
     "merge_1024": [...], "consensus": [...], "re_replay": [...],
-    "gen_replay": [...]} — the reference's emitted sets (entry points B + C)."""
+    "gen_replay": [...]} — the reference's emitted sets (entry points B + C).
+
+    ``annotators`` generalizes the detection/cross-comparison to k models
+    (a triple is consensus-correct when ANY other annotator emitted it; the
+    expansion already-labeled set stays (gemini, gpt) like the Spark
+    expansion stage — the reference's 2-annotator shape).
+    ``strict_verify_failure=True`` replays the test-corpus semantics: a
+    驗證過程有誤 on any annotator zeroes the whole document's labels
+    (reference ``test/postprecess_other.py:24-31``) instead of the train
+    path's per-triple removal (``train/postprecess.py:36-44``)."""
     mod = get_scorer(scorer)
     merge_rows, merge_1024_rows, consensus_rows = [], [], []
     gemini_merge_rows, gemini_merge_1024_rows = [], []
@@ -42,7 +56,7 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
 
         # --- detection + extraction (M1/M2 + F1) ---
         ternary = {}
-        for ann in ("gemini", "gpt"):
+        for ann in annotators:
             status, output = mod.score_detect(text, ann)
             if status != HAS_RELATION:
                 ternary[ann] = None  # reference leaves NaN
@@ -77,8 +91,13 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
 
         trad = {ann: to_trad(t) for ann, t in ternary.items()}
         checked: dict[str, list] = {}
-        for ann, other in (("gemini", "gpt"), ("gpt", "gemini")):
-            mine, theirs = trad[ann], trad[other] or []
+        doc_verify_err = False
+        for ann in annotators:
+            mine = trad[ann]
+            theirs: set = set()
+            for other in annotators:
+                if other != ann and trad[other]:
+                    theirs |= set(trad[other])
             if mine is None:
                 checked[ann] = []
                 continue
@@ -90,16 +109,21 @@ def run_reference_logic(docs: list[dict], scorer: str = "deterministic") -> dict
                 verdicts = parse_verdicts(answer, len(wrong))
                 if verdicts is not None:  # else 驗證過程有誤 → none pass
                     passed = [w for w, ok in zip(wrong, verdicts) if ok]
+                else:
+                    doc_verify_err = True
             checked[ann] = correct + passed
 
         # --- union_label (train/postprecess.py:26-81) ---
         consensus, seen_keys = [], set()
-        for s, o, r in checked["gemini"] + checked["gpt"]:
-            lo, hi = sorted([s, o])
-            key = (lo, hi, r)
-            if key not in seen_keys and lo != hi:
-                seen_keys.add(key)
-                consensus.append(key)
+        for ann in annotators:
+            for s, o, r in checked[ann]:
+                lo, hi = sorted([s, o])
+                key = (lo, hi, r)
+                if key not in seen_keys and lo != hi:
+                    seen_keys.add(key)
+                    consensus.append(key)
+        if strict_verify_failure and doc_verify_err:
+            consensus = []  # test-corpus path: whole doc zeroed
         if not consensus:
             continue
         consensus_rows.extend((url, s, o, r) for s, o, r in consensus)

@@ -180,6 +180,15 @@ def score_verify(text: str, triples: list[tuple[str, str, str]]) -> str:
     for i, (s, o, rel) in enumerate(triples, start=1):
         verdict = "正確" if (s, o, rel) in truth else "錯誤"
         lines.append(f"{i}.{verdict}")
+    # deterministic miscount noise (~2.4% of verifying docs): the answer
+    # drops its last line, so parse_verdicts hits a count mismatch → the
+    # 驗證過程有誤 sentinel. This exercises the verify-error path end to end —
+    # train semantics drop just the unverified triples
+    # (train/postprecess.py:36-44) while the strict test-corpus path zeroes
+    # the whole doc (test/postprecess_other.py:24-31); both consumers and the
+    # parity port key off the same doc-hash, so they stay in lock-step.
+    if lines and _bucket(doc, "verify:miscount", 41) == 0:
+        lines = lines[:-1]
     return "\n".join(lines)
 
 

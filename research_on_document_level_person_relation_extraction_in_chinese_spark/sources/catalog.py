@@ -55,15 +55,26 @@ class StageCatalog:
     ) -> str:
         """Write a stage table; returns its snapshot id.
 
-        ``bucket_col`` repartitioning co-locates url-keyed joins across
-        stages (same hash → same partition index), standing in for Iceberg
-        ``bucket(N, url)`` partition transforms at scale.
+        When ``bucket_col`` is present, the table is written PARTITIONED by a
+        materialized ``_bucket = pmod(hash(bucket_col), n_buckets)`` column
+        (one directory per bucket, pre-shuffled so each bucket is one file):
+        the Iceberg ``bucket(N, url)`` partition transform in parquet terms.
+        A bucket-filtered ``read_stage(..., bucket=k)`` then PRUNES the scan
+        to that directory (visible as ``PartitionFilters`` in the plan —
+        SURVEY §1.4's url-hash-bucket pruning promise), and the shared layout
+        co-locates url-keyed joins across stages.
         """
         spark = df.sparkSession
         n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        schema_json = df.schema.jsonValue()  # logical schema, sans _bucket
         if bucket_col and bucket_col in df.columns:
-            df = df.repartition(n_buckets, F.col(bucket_col))
-        df.write.mode("overwrite").parquet(self._path(name))
+            df = df.withColumn(
+                "_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))
+            )
+            df = df.repartition(n_buckets, F.col("_bucket"))
+            df.write.mode("overwrite").partitionBy("_bucket").parquet(self._path(name))
+        else:
+            df.write.mode("overwrite").parquet(self._path(name))
 
         snapshot_id = uuid.uuid4().hex[:16]
         parents = {}
@@ -79,7 +90,7 @@ class StageCatalog:
             "created_at": time.time(),
             "inputs": parents,
             "metrics": metrics or {},
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
         }
@@ -87,8 +98,23 @@ class StageCatalog:
             json.dump(manifest, f, ensure_ascii=False, indent=1)
         return snapshot_id
 
-    def read_stage(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self._path(name))
+    def read_stage(
+        self,
+        spark: SparkSession,
+        name: str,
+        bucket: int | None = None,
+        keep_bucket: bool = False,
+    ) -> DataFrame:
+        """Read a stage table. ``bucket=k`` filters on the ``_bucket``
+        partition column — a directory-pruned scan (only that bucket's files
+        are listed/read); the synthetic ``_bucket`` column is dropped unless
+        ``keep_bucket`` so consumers see the logical stage schema."""
+        df = spark.read.parquet(self._path(name))
+        if bucket is not None:
+            df = df.where(F.col("_bucket") == bucket)
+        if "_bucket" in df.columns and not keep_bucket:
+            df = df.drop("_bucket")
+        return df
 
     def manifest(self, name: str) -> dict:
         with open(self._manifest_path(name), encoding="utf-8") as f:
