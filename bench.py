@@ -45,7 +45,9 @@ HEADLINE = [
     "token_totals",
     "langid_counts",
     "minhash_lsh",
+    "minhash_lsh_inverted",
     "ngram_jaccard",
+    "ngram_jaccard_prefix",
     "simhash_sample",
     "embedding_topk",
     "ann_bucket_topk",

@@ -60,6 +60,17 @@ def test_dense_jaccard_plan_shape(spark):
         assert python_node not in plan
 
 
+def test_prefix_jaccard_plan_shape(spark):
+    """Open-vocab prefix-filtered set-similarity join: pure JVM (no Python
+    nodes), the per-doc rarity rank window present, no cartesian product."""
+    plan = _plan(entry_mod.q_ngram_jaccard_prefix(spark, SF_DIR))
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+    assert "Window" in plan  # prefix selection = rank over (df, sh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_balanced_sample_no_global_sort(spark):
     """The exact hash-rank sample must NOT contain a single-partition global
     sort: the only exchange for the rank is hashpartitioning on the range
