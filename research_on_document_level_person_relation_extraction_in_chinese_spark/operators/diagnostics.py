@@ -80,7 +80,15 @@ def ner_overlap_audit(expanded: DataFrame) -> DataFrame:
     trad document — the reference subtracts them from the LLM count), exact
     intersection, and union. One aggregation over array expressions — no
     Python. Requires a dual-NER expanded frame (``ner_sources`` incl. ckip +
-    gemini) filtered to non-empty merge labels like the reference."""
+    gemini) filtered to non-empty merge labels like the reference.
+
+    INTENTIONAL DEVIATION from the reference's counting: its nested loop
+    increments the hallucination counter once per (ckip, gemini) pair —
+    multiplying each hallucinated name by the doc's CKIP mention count — and
+    counts intersection once per duplicate match; this audit uses per-mention
+    SET semantics (each name counted once per doc). The emitted numbers are
+    therefore not bit-compatible with a reference run — deliberately, since
+    the multiplied counts measure nothing."""
     doc = F.col("trad_text")
     clean = F.filter("gemini_ner", lambda x: doc.contains(x))
     base = expanded.filter(F.size("merge_label") > 0).select(

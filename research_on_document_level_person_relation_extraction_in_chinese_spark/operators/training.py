@@ -135,6 +135,11 @@ def hash_balanced_sample(
     global rank. The only wide op is the bucketed window — one shuffle on a
     uniform key.
     """
+    # NULL-predicate contract, made explicit: a row where ``is_positive``
+    # evaluates to NULL belongs to NEITHER class (three-valued logic would
+    # silently drop it from both ``where`` branches) — coalescing pins that
+    # behavior visibly: NULL-predicate rows are treated as negatives.
+    is_positive = F.coalesce(is_positive, F.lit(False))
     pos = df.where(is_positive)
     # NULL keys cannot be hash-ranked (md5(NULL) is NULL); excluding them is
     # the documented contract — they would otherwise poison the driver-side

@@ -6,7 +6,10 @@ Methodology (documented in BENCH/BASELINE.md):
 - Input prep (synthetic corpus → parquet) happens once and is not measured —
   matching the 100-TB reality of reading an existing Iceberg table.
 - Two measured jobs: the KG triple-extraction pipeline (Python-scorer-heavy)
-  and the MinHash-LSH dedup query (JVM/codegen-heavy).
+  and the MinHash-LSH dedup query (JVM/codegen-heavy) over a synthetic
+  open-vocabulary near-dup table big enough that shuffle/compute dominates
+  planning (round-2 verdict: the 5k-doc sf0.1 fixture left the LSH job
+  planning-bound, so its efficiency measured Amdahl on fixed overhead).
 - The sandbox shares CPUs with other tenants (load average 2–8 from outside
   this session), so runs at the two levels are INTERLEAVED (N, 4N, N, 4N, …)
   and best-of-R is reported per level, which bounds the influence of load
@@ -35,20 +38,24 @@ from research_on_document_level_person_relation_extraction_in_chinese_spark.plan
 )
 from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (  # noqa: E402
     generate_corpus,
+    generate_open_vocab_docs,
 )
 from bench import _warmup  # noqa: E402
 
 
-def prepare_corpus(n_docs: int, out_dir: str, partitions: int) -> None:
+def prepare_corpus(n_docs: int, out_dir: str, partitions: int, lsh_docs: int, lsh_dir: str) -> None:
     spark = get_spark("scale-prep")
     spark.sparkContext.setLogLevel("ERROR")
     generate_corpus(spark, n_docs, seed=42, partitions=partitions).write.mode(
         "overwrite"
     ).parquet(out_dir)
+    generate_open_vocab_docs(spark, lsh_docs, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(lsh_dir)
     spark.stop()
 
 
-def run_once(cores: int, corpus_dir: str, sf_dir: str) -> dict:
+def run_once(cores: int, corpus_dir: str, lsh_dir: str) -> dict:
     spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, cores)
@@ -60,15 +67,14 @@ def run_once(cores: int, corpus_dir: str, sf_dir: str) -> dict:
     kg_sec = time.perf_counter() - t0
     spark.catalog.clearCache()
 
-    # fan the single-file fixture out to the session parallelism — the real
-    # corpus has thousands of input splits; without this the shingle/minhash
-    # compute serializes on ONE core at any local[N] (measured: lsh scaling
-    # ceilinged at 0.5 from exactly this)
-    dd = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the synthetic open-vocab table is written with many splits (prepare
+    # step), so the shingle/minhash compute parallelizes like a real corpus;
+    # verify='inverted' pins the documented 100-TB contract
+    dd = spark.read.parquet(lsh_dir)
     t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(dd, n=3, k=8, bands=2, threshold=0.7).count()
+    n_pairs = minhash_lsh_pairs(
+        dd, n=3, k=8, bands=None, threshold=0.8, verify="inverted"
+    ).count()
     lsh_sec = time.perf_counter() - t0
     spark.stop()
     return {
@@ -103,21 +109,22 @@ def burn(procs: int, total_iters: int = 120_000_000) -> float:
 
 def main() -> None:
     n_docs = int(os.environ.get("SCALING_DOCS", "200000"))
+    lsh_docs = int(os.environ.get("SCALING_LSH_DOCS", "60000"))
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     lo_cores = int(os.environ.get("SCALING_N", "2"))
     hi_cores = int(os.environ.get("SCALING_4N", "8"))
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ratio = hi_cores / lo_cores
 
     tmp = tempfile.mkdtemp(prefix="scaling_corpus_")
+    lsh_tmp = tempfile.mkdtemp(prefix="scaling_lsh_")
     try:
-        prepare_corpus(n_docs, tmp, partitions=max(hi_cores * 4, 32))
+        prepare_corpus(n_docs, tmp, max(hi_cores * 4, 32), lsh_docs, lsh_tmp)
         lo_runs, hi_runs, burns = [], [], []
         for _ in range(repeats):  # interleaved A/B with adjacent ceiling probes
             b_lo = burn(lo_cores)
-            lo_runs.append(run_once(lo_cores, tmp, sf_dir))
+            lo_runs.append(run_once(lo_cores, tmp, lsh_tmp))
             b_hi = burn(hi_cores)
-            hi_runs.append(run_once(hi_cores, tmp, sf_dir))
+            hi_runs.append(run_once(hi_cores, tmp, lsh_tmp))
             burns.append(
                 {
                     "n_sec": round(b_lo, 2),
@@ -127,11 +134,17 @@ def main() -> None:
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(lsh_tmp, ignore_errors=True)
 
     def best(runs, key):
         return min(r[key] for r in runs)
 
-    result = {"n_docs": n_docs, "n_cores": lo_cores, "4n_cores": hi_cores}
+    result = {
+        "n_docs": n_docs,
+        "lsh_docs": lsh_docs,
+        "n_cores": lo_cores,
+        "4n_cores": hi_cores,
+    }
     result["host_ceiling"] = {
         "per_repeat": burns,
         "best_eff": max(b["ceiling_eff"] for b in burns),

@@ -203,3 +203,69 @@ def test_evaluate_re_micro_fixture(spark):
     res = evaluate_re_micro(df, "pred", "actual")
     assert res["n"] == 4 and res["n_correct"] == 3
     assert res["precision"] == res["recall"] == res["f1"] == 0.75
+
+
+def test_replay_one_doc_hand_computed_oracle():
+    """Independent oracle for the replay kernel itself (round-2 advisor note:
+    replay_one_doc is shared verbatim between the Spark UDF and the parity
+    port, so port-parity alone can't catch a logic bug inside it). Fixture
+    docs with HAND-COMPUTED expected output — including the deliberate
+    strip_title deviation (the reference replays raw NER surface forms,
+    re_inference.py:36-41; the rebuild canonicalizes 陳小明博士 → 陳小明)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.re_replay import (
+        replay_one_doc,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.scorers import (
+        deterministic as det,
+    )
+
+    base = "陳大文是陳小明的長子。林志明與王小華在同一間公司共事多年。"
+    entities = ["陳大文", "陳小明博士", "林志明", "王小華"]
+    names = ["陳大文", "陳小明", "林志明", "王小華"]  # after title strip
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.functions.analysis import (
+        generate_pairs,
+    )
+
+    # precondition: pick a suffix where NO pair draws the skip noise, so the
+    # hand computation covers the pure path
+    doc = None
+    for i in range(100_000):
+        cand = base + f"備註{i}。"
+        head = cand[:1024]
+        if all(
+            det._bucket(head, f"re:skip:{a}|{b}", 97) != 0
+            for a, b in generate_pairs(names)
+        ):
+            doc = cand
+            break
+    assert doc is not None
+
+    out = replay_one_doc(det, doc, entities, max_length=1024)
+    # hand-computed: 6 pairs generated, all survive the 1024-char head, the
+    # two template pairs answer their classes, four answer 沒有
+    assert out["n_pairs_scored"] == 6
+    assert out["n_pairs_skipped"] == 0
+    assert out["has_relation"] == "有"
+    assert out["output"] == (
+        "有 ('陳大文', '陳小明', '親屬'), ('林志明', '王小華', '同事')"
+    )
+    # the title-suffixed alias was canonicalized BEFORE pair generation
+    assert "陳小明博士" not in out["output"]
+
+    # and a doc whose lone pair draws the skip noise: scored, skipped, 無
+    pair = ("陳大文", "陳小明")
+    doc2 = None
+    for i in range(100_000):
+        cand = base[:11] + f"補充說明{i}。"  # only the kin_son sentence
+        head = cand[:1024]
+        if det._bucket(head, f"re:skip:{pair[0]}|{pair[1]}", 97) == 0:
+            doc2 = cand
+            break
+    assert doc2 is not None
+    out2 = replay_one_doc(det, doc2, list(pair), max_length=1024)
+    assert out2 == {
+        "has_relation": "無",
+        "output": "無",
+        "n_pairs_scored": 1,
+        "n_pairs_skipped": 1,
+    }
