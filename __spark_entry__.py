@@ -448,6 +448,50 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_coref_mentions(spark, sf_dir):
+    """Intra-doc coreference kernel (operators/coref.py): synthetic mention
+    arrays derived arithmetically from c_custkey (md5-indexed surname/given/
+    title literals, identical in DuckDB) exercise title-strip, unique-surname
+    attachment, ambiguity-keep (two fulls sharing a surname) and the
+    no-candidate bare surname; the exploded canonical mentions are counted."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.coref import (
+        canonical_mentions,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    md5 = F.md5(F.col("c_custkey").cast("string"))
+
+    def hx(pos: int, mod: int):
+        return F.conv(F.substring(md5, pos, 4), 16, 10).cast("long") % mod
+
+    sur_arr = F.array(*[F.lit(s) for s in "王李陳林張黃吳劉"])
+    h1 = hx(1, 8)
+    sur = F.element_at(sur_arr, (h1 + 1).cast("int"))
+    sur2 = F.element_at(sur_arr, ((h1 + 1) % 8 + 1).cast("int"))
+    given = F.concat(
+        F.element_at(F.array(*[F.lit(s) for s in "志美家文"]), (hx(5, 4) + 1).cast("int")),
+        F.element_at(F.array(*[F.lit(s) for s in "明玲豪君"]), (hx(9, 4) + 1).cast("int")),
+    )
+    title = F.element_at(
+        F.array(F.lit("博士"), F.lit("教授"), F.lit("先生"), F.lit("老師")),
+        (hx(13, 4) + 1).cast("int"),
+    )
+    full = F.concat(sur, given)
+    mentions = F.array(
+        full,
+        F.concat(sur, title),
+        F.when(hx(17, 5) == 0, F.concat(sur, F.lit("大同"))).otherwise(
+            F.concat(full, title)
+        ),
+        F.concat(sur2, title),
+    )
+    return (
+        c.select(F.explode(canonical_mentions(mentions)).alias("mention"))
+        .groupBy("mention")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_cooccur_distance(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pa, pb = F.locate("spark", F.col("text")), F.locate("query", F.col("text"))
@@ -529,6 +573,37 @@ def q_kg_edges(spark, sf_dir):
     corpus = generate_corpus(spark, 600, seed=42)
     edges = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["edges"]
     return edges.select("subj_id", "obj_id", "rel", "n_docs")
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """KG analytics over the materialized graph: weighted PageRank centrality
+    of persons on the symmetrized co-occurrence relation edges (iterative
+    power method — operators/graph.py:pagerank; non-SQL-expressible)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        pagerank,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    corpus = generate_corpus(spark, 600, seed=42)
+    edges = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["edges"]
+    sym = edges.select("subj_id", "obj_id", "n_docs").union(
+        edges.select(
+            F.col("obj_id").alias("subj_id"),
+            F.col("subj_id").alias("obj_id"),
+            "n_docs",
+        )
+    )
+    pr = pagerank(
+        sym, src="subj_id", dst="obj_id", weight="n_docs",
+        max_iter=10, check_every=10,
+    )
+    return (
+        pr.orderBy(F.desc("rank"), "id")
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
 
 
 def q_kg_ner_re_replay(spark, sf_dir):
@@ -624,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "hash_sample": q_hash_sample,
         "balanced_sample": q_balanced_sample,
+        "coref_mentions": q_coref_mentions,
         "cooccur_distance": q_cooccur_distance,
         "embedding_topk": q_embedding_topk,
         "ann_bucket_topk": q_ann_bucket_topk,
@@ -632,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
+        "kg_pagerank": q_kg_pagerank,
         "kg_ner_re_replay": q_kg_ner_re_replay,
         "kg_generation_replay": q_kg_generation_replay,
         "kg_union_expansion": q_kg_union_expansion,
@@ -1135,12 +1212,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
         """,
+        "coref_mentions": """
+            WITH h AS (
+                SELECT md5(CAST(c_custkey AS VARCHAR)) AS m FROM customer
+            ), parts AS (
+                SELECT
+                    CAST('0x' || substr(m, 1, 4) AS BIGINT) % 8 AS h1,
+                    CAST('0x' || substr(m, 5, 4) AS BIGINT) % 4 AS h2,
+                    CAST('0x' || substr(m, 9, 4) AS BIGINT) % 4 AS h3,
+                    CAST('0x' || substr(m, 13, 4) AS BIGINT) % 4 AS h4,
+                    CAST('0x' || substr(m, 17, 4) AS BIGINT) % 5 AS h5
+                FROM h
+            ), named AS (
+                SELECT
+                    list_extract(['王','李','陳','林','張','黃','吳','劉'], CAST(h1 + 1 AS INTEGER)) AS sur,
+                    list_extract(['王','李','陳','林','張','黃','吳','劉'], CAST((h1 + 1) % 8 + 1 AS INTEGER)) AS sur2,
+                    list_extract(['志','美','家','文'], CAST(h2 + 1 AS INTEGER))
+                      || list_extract(['明','玲','豪','君'], CAST(h3 + 1 AS INTEGER)) AS given,
+                    list_extract(['博士','教授','先生','老師'], CAST(h4 + 1 AS INTEGER)) AS title,
+                    h5 = 0 AS amb
+                FROM parts
+            ), arrs AS (
+                SELECT [sur || given,
+                        sur || title,
+                        CASE WHEN amb THEN sur || '大同' ELSE sur || given || title END,
+                        sur2 || title] AS mentions
+                FROM named
+            ), stripped AS (
+                SELECT list_transform(mentions, x ->
+                    CASE WHEN length(x) > 2
+                         THEN regexp_replace(x, '(博士|教授|先生|老師)$', '')
+                         ELSE x END) AS s
+                FROM arrs
+            ), fulls AS (
+                SELECT s, list_distinct(list_filter(s, x -> length(x) >= 2)) AS f
+                FROM stripped
+            ), canon AS (
+                SELECT list_distinct(list_transform(s, m ->
+                    CASE WHEN length(m) >= 2 THEN m
+                         WHEN len(list_filter(f, g -> substr(g, 1, 1) = m)) = 1
+                         THEN list_filter(f, g -> substr(g, 1, 1) = m)[1]
+                         ELSE m END)) AS c
+                FROM fulls
+            )
+            SELECT mention, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT unnest(c) AS mention FROM canon)
+            GROUP BY mention
+        """,
         "embedding_near_dups": _ann_banded_sql(seed="emb"),
         "ann_banded_near_dups": _ann_banded_sql(),
-        # kg_triples / kg_nodes / kg_edges / kg_ner_re_replay /
+        # kg_triples / kg_nodes / kg_edges / kg_pagerank / kg_ner_re_replay /
         # kg_generation_replay / kg_union_expansion / media_features:
         # non-SQL-expressible (deterministic scorer pipeline, iterative
-        # connected components, Arrow binary plumbing) → rows-only check;
+        # connected components / power iteration, Arrow binary plumbing) →
+        # rows-only check;
         # their correctness gate is tests/test_pipeline_e2e.py +
         # tests/test_re_replay.py (parity vs the reference-logic port) and
         # tests/test_multimodal_streaming.py.

@@ -65,6 +65,7 @@ def test_every_query_listed_or_flagged():
         "kg_triples",
         "kg_nodes",
         "kg_edges",
+        "kg_pagerank",
         "kg_ner_re_replay",
         "kg_generation_replay",
         "kg_union_expansion",
