@@ -546,6 +546,44 @@ def q_ann_banded_near_dups(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: deterministic 16-centroid table inlined as a
+    literal, per-row argmax-cosine assignment as a shuffle-free JVM fold
+    (cluster column = the partition-pruning key at scale), probe only the 4
+    nearest clusters (operators/simsearch.py:ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/C4-style repetition quality filter: per-doc dup-word fraction,
+    top-bigram fraction and mean word length as per-row JVM HOF folds (no
+    explode/shuffle — the map-only 100-TB quality-pass shape), keep verdict
+    thresholds, kept/dropped census per language."""
+    d = _docs_fanned(spark, sf_dir)
+    r = T.repetition_features(d)
+    return (
+        r.withColumn("kept", T.gopher_keep().cast("int"))
+        .groupBy("lang", "kept")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("r_dup_word_frac"), 4).alias("avg_dup_word_frac"),
+            F.round(F.avg("r_top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        )
+    )
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup resolution: SimHash pair graph → connected components →
+    one canonical doc per duplicate group, every doc mapped (singletons to
+    themselves). Oracle = a recursive-CTE min-label transitive closure over
+    the identical pair SQL — the iterative large-star/small-star CC gets a
+    full value-level gate, not just rows-only."""
+    d = _docs_fanned(spark, sf_dir).where(F.col("doc_id") < 400)
+    pairs = D.simhash_near_dup_pairs(d, n=2, bits=16, bands=4, max_distance=2)
+    return D.near_dup_doc_groups(d, pairs)
+
+
 # --------------------------------------------------------------------------
 # KG pipeline + multimodal plumbing (non-SQL-expressible → rows-only check)
 # --------------------------------------------------------------------------
@@ -705,6 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_topk": q_ann_bucket_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_banded_near_dups": q_ann_banded_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "gopher_quality": q_gopher_quality,
+        "dedup_groups": q_dedup_groups,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1211,6 +1252,117 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(c, 6) AS cosine
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "ivf_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            cent AS (
+                SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16
+            ),
+            assign AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                             CAST(e.embedding AS DOUBLE[])))
+                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid
+                       ) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ),
+            clustered AS (SELECT vec_id, ev, cid AS cluster FROM assign WHERE rk = 1),
+            probes AS (
+                SELECT cid FROM (
+                    SELECT c.cid, row_number() OVER (
+                        ORDER BY list_dot_product(c.cv, q.qv)
+                                 / (sqrt(list_dot_product(c.cv, c.cv))
+                                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid
+                    ) AS rk
+                    FROM cent c CROSS JOIN q
+                ) WHERE rk <= 4
+            ),
+            scored AS (
+                SELECT t.vec_id, t.cluster,
+                       list_dot_product(t.ev, q.qv)
+                       / (sqrt(list_dot_product(t.ev, t.ev))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS c
+                FROM clustered t CROSS JOIN q
+                WHERE t.cluster IN (SELECT cid FROM probes)
+            )
+            SELECT vec_id, cluster, round(c, 6) AS cosine
+            FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "gopher_quality": """
+            WITH f AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(str_split_regex(trim(text), '\\s+')) END AS n,
+                       str_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT lang, n,
+                    round(CASE WHEN n > 0
+                          THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE) / n
+                          ELSE 0.0 END, 6) AS dupf,
+                    list_transform(generate_series(1, greatest(n - 1, 0)),
+                                   i -> ws[i] || ' ' || ws[i + 1]) AS bg,
+                    round(CASE WHEN n > 0
+                          THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / n
+                          ELSE 0.0 END, 6) AS meanl
+                FROM f
+            ), h AS (
+                SELECT lang, n, dupf, meanl,
+                    round(CASE WHEN len(bg) > 0
+                          THEN CAST(list_max(list_transform(list_distinct(bg),
+                                     x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+                          ELSE 0.0 END, 6) AS topf
+                FROM g
+            ), k AS (
+                SELECT lang, dupf, topf,
+                    CAST(n >= 20 AND n <= 100000 AND dupf <= 0.55 AND topf <= 0.07
+                         AND meanl >= 2.0 AND meanl <= 10.0 AS INT) AS kept
+                FROM h
+            )
+            SELECT lang, kept, count(*) AS n_docs,
+                   round(avg(dupf), 4) AS avg_dup_word_frac,
+                   round(avg(topf), 4) AS avg_top_bigram_frac
+            FROM k GROUP BY lang, kept
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sh2 AS (
+                SELECT doc_id, sh FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(1, greatest(length(text) - 1, 0) + 1),
+                        i -> substr(text, CAST(i AS INTEGER), 2))) AS sh
+                    FROM documents WHERE doc_id < 400
+                ) GROUP BY 1, 2
+            ),
+            hh AS (SELECT doc_id, {_SHINGLE_HASH_SQL.format(s='sh')} AS h FROM sh2),
+            b AS (
+                SELECT doc_id, j.j,
+                       CASE WHEN sum(((h >> j.j) & 1) * 2 - 1) > 0
+                            THEN CAST(1 << j.j AS BIGINT) ELSE 0 END AS bit
+                FROM hh, generate_series(0, 15) AS j(j)
+                GROUP BY doc_id, j.j
+            ),
+            s AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM b GROUP BY doc_id),
+            p AS (
+                SELECT a.doc_id AS a_id, b2.doc_id AS b_id
+                FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+                WHERE bit_count(xor(a.simhash, b2.simhash)) <= 2
+            ),
+            e AS (SELECT a_id AS efrom, b_id AS eto FROM p
+                  UNION SELECT b_id, a_id FROM p),
+            reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+                UNION
+                SELECT e.efrom, r.lbl FROM e JOIN reach r ON r.id = e.eto
+            )
+            SELECT id AS doc_id, min(lbl) AS canonical_id,
+                   CAST(min(lbl) = id AS INT) AS is_canonical
+            FROM reach GROUP BY id
         """,
         "coref_mentions": """
             WITH h AS (

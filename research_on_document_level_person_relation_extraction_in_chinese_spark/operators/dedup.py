@@ -528,3 +528,30 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_distance)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def near_dup_doc_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS and pick one
+    canonical representative per group — the step every dedup pipeline needs
+    between candidate generation and the actual drop (cc_net / MassiveText
+    keep-one-per-cluster semantics).
+
+    Pairwise similarity is not transitive, so groups are the connected
+    components of the pair graph (alternating large-star/small-star,
+    O(log n) rounds — ``linking.connected_components``); the canonical doc
+    is the component's minimum id and every doc maps to exactly one
+    canonical. Output: (id_col, canonical_id, is_canonical) for EVERY input
+    doc (singletons map to themselves), so the keep-filter is
+    ``is_canonical`` and the drop-count is a plain aggregate."""
+    from .linking import connected_components
+
+    verts = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comps = connected_components(verts, edges)
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
+    )

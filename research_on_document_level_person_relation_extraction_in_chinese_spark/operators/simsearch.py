@@ -252,3 +252,103 @@ def embedding_near_dup_pairs(
         vec_col=vec_col,
         dim=dim,
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# --------------------------------------------------------------------------
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    import math
+
+    dp = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dp / (na * nb)
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid table: the vectors with ``id < n_centroids``.
+
+    A seed rule standing in for the k-means‖ fit a production build would run
+    once offline — the *serving* plan below is identical either way: the
+    centroid table is tiny (k ≪ N), lives on the driver, and is inlined as a
+    literal array so assignment is a pure per-row map (no join, no shuffle).
+    """
+    rows = (
+        emb.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"), _to_double(F.col(vec_col)).alias("cv"))
+        .collect()
+    )
+    return sorted((r["cid"], [float(x) for x in r["cv"]]) for r in rows)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds a ``cluster`` column = argmax-cosine centroid id (first wins ties).
+
+    The argmax runs as a JVM ``aggregate`` fold over a literal
+    (cid, centroid) struct array — per-row, partition-local, shuffle-free;
+    at 100 TB the output is written partitioned/bucketed BY ``cluster`` so
+    probes prune files (same contract as ``sign_bucket``). Folding in cid
+    order with a strict ``>`` keeps the lowest cid on exact ties, matching
+    the SQL oracle's ``row_number ORDER BY c DESC, cid``."""
+    cent = F.array(
+        *[
+            F.struct(F.lit(int(cid)).alias("cid"), _query_literal(cv).alias("cv"))
+            for cid, cv in centroids
+        ]
+    )
+    e = _to_double(F.col(vec_col))
+    zero = F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("cos"))
+    best = F.aggregate(
+        cent,
+        zero,
+        lambda acc, c: F.when(
+            cosine(e, c["cv"]) > acc["cos"],
+            F.struct(c["cid"].alias("cid"), cosine(e, c["cv"]).alias("cos")),
+        ).otherwise(acc),
+    )
+    return emb.withColumn("cluster", best["cid"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` clusters whose
+    centroids are closest to the query (classic inverted-file ANN; the
+    LSH-bucketed ``bucketed_ann_topk`` is the hash-partitioned alternative).
+
+    Probe selection is driver-side over the k-row centroid table (bounded,
+    like the taxonomy map); the scan side is a partition-prunable equality
+    filter + brute-force cosine within ~nprobe/n_centroids of the data."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    ranked = sorted(
+        cents, key=lambda c: (-_cosine_py(query_vec, c[1]), c[0])
+    )
+    probe = [cid for cid, _ in ranked[:nprobe]]
+    q = _query_literal(query_vec)
+    e = _to_double(F.col(vec_col))
+    return (
+        ivf_assign(emb, cents, id_col, vec_col)
+        .where(F.col("cluster").isin(probe))
+        .select(F.col(id_col), F.col("cluster"), cosine(e, q).alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cluster", F.round(F.col("_cos"), 6).alias("cosine"))
+    )

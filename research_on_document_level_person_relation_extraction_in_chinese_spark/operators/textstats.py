@@ -80,3 +80,72 @@ def fingerprint(text: Column) -> Column:
 def _codepoint(ch: Column) -> Column:
     # ascii() in Spark returns the Unicode code point of the first character
     return F.ascii(ch).cast("long")
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition + shape features, per document.
+
+    - ``r_n_words``      whitespace word count
+    - ``r_dup_word_frac``  1 − distinct/total words (MassiveText "duplicate
+      n-gram fraction" at n=1 — high values flag boilerplate/spam)
+    - ``r_top_bigram_frac``  fraction of word bigrams occupied by the single
+      most frequent bigram (Gopher's "top 2-gram fraction")
+    - ``r_mean_word_len``  mean word length in chars
+
+    Everything is a per-row JVM higher-order-function fold (no explode, no
+    shuffle, no Python): the per-doc mode-of-bigrams runs as
+    ``aggregate(array_distinct(bg), max(count))`` — O(u·n) per doc on a
+    bounded doc length, partition-local, exactly the map-only shape a 100-TB
+    quality-filter pass needs. DuckDB oracle mirrors each fold with list
+    lambdas (list_distinct/list_filter/list_transform).
+    """
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    n = F.when(empty, 0).otherwise(F.size(words))
+    dup_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(words)).cast("double") / n
+    ).otherwise(0.0)
+    bigrams = F.zip_with(
+        F.slice(words, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(words, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bg = F.size(bigrams)
+    top_count = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, F.size(F.filter(bigrams, lambda y: y == x))),
+    )
+    top_frac = F.when(n_bg > 0, top_count.cast("double") / n_bg).otherwise(0.0)
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(0.0)
+    return df.select(
+        "*",
+        n.alias("r_n_words"),
+        F.round(dup_frac, 6).alias("r_dup_word_frac"),
+        F.round(top_frac, 6).alias("r_top_bigram_frac"),
+        F.round(mean_len, 6).alias("r_mean_word_len"),
+    )
+
+
+def gopher_keep(
+    min_words: int = 20,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.07,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+) -> Column:
+    """Keep/drop verdict over ``repetition_features`` output (Gopher-style
+    rule thresholds re-tuned to the synthetic corpus so both classes are
+    populated; on a real crawl use the published constants)."""
+    return (
+        (F.col("r_n_words") >= min_words)
+        & (F.col("r_n_words") <= max_words)
+        & (F.col("r_dup_word_frac") <= max_dup_word_frac)
+        & (F.col("r_top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("r_mean_word_len") >= min_mean_word_len)
+        & (F.col("r_mean_word_len") <= max_mean_word_len)
+    )
