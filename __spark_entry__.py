@@ -702,6 +702,27 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_frame_samples(spark, sf_dir):
+    """Video frame sampling, fully JVM-side (explode every-k frame index +
+    byte-range slice of the payload) — the prune-before-decode stage of the
+    multimodal pipeline. ASCII-only docs so the byte-domain Spark slicing and
+    the char-domain DuckDB oracle agree exactly."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & F.col("text").rlike("^[\\x20-\\x7e]*$")
+    )
+    media = attach_media(d, media_type="video", n_frames=4)
+    return sample_frames(media, every_k=2).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame_payload")).alias("frame_md5"),
+        F.length("frame_payload").cast("long").alias("frame_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -754,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_generation_replay": q_kg_generation_replay,
         "kg_union_expansion": q_kg_union_expansion,
         "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
     }
 
 
@@ -1329,6 +1351,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dupf), 4) AS avg_dup_word_frac,
                    round(avg(topf), 4) AS avg_top_bigram_frac
             FROM k GROUP BY lang, kept
+        """,
+        "frame_samples": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 50 AND regexp_full_match(text, '[ -~]*')
+            ), fr AS (
+                SELECT doc_id, text,
+                       CAST(floor(length(text) / 4) AS INTEGER) AS stride,
+                       CAST(unnest(generate_series(0, 3, 2)) AS INTEGER) AS frame_idx
+                FROM d
+            )
+            SELECT doc_id, frame_idx,
+                   md5(substr(text, frame_idx * stride + 1, stride)) AS frame_md5,
+                   CAST(length(substr(text, frame_idx * stride + 1, stride)) AS BIGINT) AS frame_len
+            FROM fr
         """,
         "dedup_groups": f"""
             WITH RECURSIVE sh2 AS (

@@ -53,6 +53,8 @@ HEADLINE = [
     "ann_bucket_topk",
     "embedding_near_dups",
     "ann_banded_near_dups",
+    "ivf_topk",
+    "gopher_quality",
     "balanced_sample",
 ]
 

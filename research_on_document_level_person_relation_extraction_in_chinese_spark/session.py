@@ -47,6 +47,20 @@ def get_spark(
         # under-use the cluster.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # broadcast decisions from MEASURED sizes only. Catalyst's static
+        # size propagation does not scale estimates through Generate
+        # (explode): a 60M-row exploded shingle table inherits its parquet
+        # scan's ~20 MB estimate, every downstream join plans as a
+        # BroadcastHashJoin, and the driver then serially builds a
+        # multi-GB hashed relation (measured: a 70–160 s single-core stall
+        # between the last shuffle stage and the final stage of the
+        # LSH-dedup job; at cluster scale it would OOM the driver).
+        # Static planning therefore never broadcasts implicitly (-1);
+        # AQE re-plans shuffle joins into broadcasts from true runtime
+        # sizes, and intentional dim-table broadcasts stay explicit via
+        # F.broadcast() hints, which bypass the threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
         # Arrow batches for every pandas UDF / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

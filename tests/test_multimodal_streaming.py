@@ -69,3 +69,56 @@ def test_streaming_matches_batch(spark, tmp_path):
     # exactly-once: re-running with the same checkpoint adds nothing
     stream_extract_triples(spark, in_dir, out_dir, ckpt, available_now=True)
     assert spark.read.parquet(out_dir).count() == streamed.count()
+
+
+def test_sample_frames_byte_slices(spark):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.multimodal import (
+        attach_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "xyz")], ["doc_id", "text"])
+    media = attach_media(df, media_type="video", n_frames=4)
+    got = {
+        (r["doc_id"], r["frame_idx"]): bytes(r["frame_payload"]).decode()
+        for r in sample_frames(media, every_k=2).collect()
+    }
+    # doc 1: stride 2 → frame 0 = "ab", frame 2 = "ef"
+    # doc 2: stride 0 → empty frames (degenerate payload guard)
+    assert got == {(1, 0): "ab", (1, 2): "ef", (2, 0): "", (2, 2): ""}
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
+        multimodal as M,
+    )
+
+    def fake_decoder(payload, meta):
+        # 16 bytes → 4×4 "image" of the raw byte values
+        return np.frombuffer(payload, dtype=np.uint8).reshape(4, 4).astype("float64")
+
+    M.register_decoder("image", fake_decoder)
+    try:
+        df = spark.createDataFrame([(1, "0123456789abcdef")], ["doc_id", "text"])
+        out = M.resize_images(M.attach_media(df), width=2, height=2).collect()
+        # nearest-neighbor on rows [0,2] × cols [0,2] of the 4×4 grid
+        src = np.frombuffer(b"0123456789abcdef", dtype=np.uint8).reshape(4, 4)
+        want = [float(v) for v in src[[0, 2]][:, [0, 2]].reshape(-1)]
+        assert out[0]["pixels"] == want
+        assert (out[0]["out_w"], out[0]["out_h"]) == (2, 2)
+    finally:
+        M._DECODERS.pop("image", None)
+
+
+def test_resize_without_decoder_raises(spark):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
+        multimodal as M,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    with _pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        M.resize_images(M.attach_media(df)).collect()

@@ -178,3 +178,25 @@ def test_pipeline_plan_is_narrow_until_distinct(spark):
     expanded = expansion_stage(cons.filter(F.size("consensus_label") > 0))
     plan = _plan(expanded.select("url", "merge_label"))
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_plan_shape(spark):
+    """IVF: centroid assignment is a per-row literal-array fold — NO join and
+    NO shuffle anywhere before the top-k sort, no Python nodes, and the
+    cluster probe filter is a plain predicate the scan can see."""
+    plan = _plan(entry_mod.q_ivf_topk(spark, SF_DIR))
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+    for join_node in ("Join", "CartesianProduct"):
+        assert join_node not in plan, plan
+    assert "cluster#" in plan or "IN" in plan  # probe predicate present
+
+
+def test_gopher_quality_plan_shape(spark):
+    """Repetition features are per-row HOF folds: the only exchange is the
+    final group-by census, no explode (Generate), no Python nodes."""
+    plan = _plan(entry_mod.q_gopher_quality(spark, SF_DIR))
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+    assert "Generate" not in plan  # no explode — map-only feature pass
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
