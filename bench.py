@@ -106,10 +106,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
     sf = _sf_of(sf_dir)
-    # enough docs that scorer compute dominates plan/setup overhead (the 4k
-    # fixture measured ~2.5k docs/s while the same plan sustains >10k docs/s
-    # at 200k docs — the fixed ~1.5 s of planning was half the measurement)
-    n_docs = max(400, int(200000 * sf))
+    # enough docs that scorer compute dominates plan/setup overhead: at
+    # local[32] on this ~11-18-effective-core host the per-run constant
+    # (python-worker pool × plan nodes, Arrow setup, codegen) is ~5-6 s and
+    # swings with tenant load, so a 20k-doc run measured anywhere from 7 to
+    # 25 s while 600k docs at local[8] sustained 19.7k docs/s; 100k docs at
+    # sf0.1 puts the measurement back on the compute, not the constant
+    n_docs = max(400, int(1_000_000 * sf))
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")

@@ -309,16 +309,14 @@ def ivf_assign(
         ]
     )
     e = _to_double(F.col(vec_col))
-    zero = F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("cos"))
-    best = F.aggregate(
-        cent,
-        zero,
-        lambda acc, c: F.when(
-            cosine(e, c["cv"]) > acc["cos"],
-            F.struct(c["cid"].alias("cid"), cosine(e, c["cv"]).alias("cos")),
-        ).otherwise(acc),
-    )
-    return emb.withColumn("cluster", best["cid"])
+    # each cosine evaluated exactly ONCE (a fold comparing inside
+    # when/otherwise re-evaluates both branches' cosines — ~2× the dot
+    # products and a much larger codegen body); array_position returns the
+    # FIRST index holding the max, i.e. the lowest cid on exact ties —
+    # the same tie rule as the SQL oracle's row_number ORDER BY c DESC, cid
+    cos_arr = F.transform(cent, lambda c: cosine(e, c["cv"]))
+    pos = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
+    return emb.withColumn("cluster", F.element_at(cent, pos)["cid"])
 
 
 def ivf_topk(
