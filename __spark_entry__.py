@@ -711,8 +711,10 @@ def q_frame_samples(spark, sf_dir):
         sample_frames,
     )
 
+    # absolute anchors \A..\z: Java's $ matches BEFORE a final \n, DuckDB's
+    # regexp_full_match does not — a trailing-newline doc must fail both
     d = _t(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 50) & F.col("text").rlike("^[\\x20-\\x7e]*$")
+        (F.col("doc_id") < 50) & F.col("text").rlike("\\A[\\x20-\\x7e]*\\z")
     )
     media = attach_media(d, media_type="video", n_frames=4)
     return sample_frames(media, every_k=2).select(

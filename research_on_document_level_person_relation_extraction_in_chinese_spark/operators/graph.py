@@ -34,9 +34,15 @@ def build_nodes(linked: DataFrame) -> DataFrame:
 def build_edges(triples: DataFrame, linked: DataFrame, nodes: DataFrame) -> DataFrame:
     """triples(url, subj, obj, rel) + alias table → id-keyed relation edges.
 
-    The mention→person map is small relative to the corpus (bounded by the
-    distinct-person count), so both resolution joins are broadcast — no
-    shuffle of the triple table.
+    Scale shape: the mention→person resolve table is NOT broadcast-hinted —
+    at web scale (10^12 docs) the distinct-mention table is itself huge
+    (10^8–10^9 Chinese name surface forms), and an explicit ``F.broadcast``
+    would bypass the AQE size threshold ``session.py`` relies on and OOM
+    executors. Both resolution joins are plain equi-joins on the mention
+    key: AQE promotes them to broadcast at runtime ONLY when the resolve
+    side is measured small (the common sub-web-scale case), and falls back
+    to a shuffled join otherwise. ``test_plans_explain`` asserts the plan
+    carries no mandatory broadcast hint.
     """
     canon = linked.groupBy("component").agg(F.min("norm").alias("canonical_name"))
     resolve = (
@@ -45,11 +51,10 @@ def build_edges(triples: DataFrame, linked: DataFrame, nodes: DataFrame) -> Data
         .withColumn("person_id", F.xxhash64("canonical_name"))
         .select("mention", "person_id")
     )
-    rb = F.broadcast(resolve)
     resolved = (
-        triples.join(rb.withColumnRenamed("mention", "subj"), on="subj", how="left")
+        triples.join(resolve.withColumnRenamed("mention", "subj"), on="subj", how="left")
         .withColumnRenamed("person_id", "subj_id")
-        .join(rb.withColumnRenamed("mention", "obj"), on="obj", how="left")
+        .join(resolve.withColumnRenamed("mention", "obj"), on="obj", how="left")
         .withColumnRenamed("person_id", "obj_id")
         .withColumn("subj_id", F.coalesce("subj_id", F.xxhash64("subj")))
         .withColumn("obj_id", F.coalesce("obj_id", F.xxhash64("obj")))

@@ -59,16 +59,36 @@ def make_sessionizer(gap_ms: int):
                         )
                     )
             if rows:
-                ev = pd.concat(rows).sort_values("ms")
-                for ms, value in zip(ev["ms"], ev["value"]):
-                    ms, value = int(ms), float(value)
+                # Treat the open session from prior batches as a SPAN and
+                # interval-merge it with this batch's events in event-time
+                # order: a late (within-watermark) event that predates the
+                # open session extends session_start backwards when within
+                # the gap, or closes as its own earlier session when beyond
+                # it — matching batch gap-sessionization over everything
+                # seen so far. (Events older than an already-EMITTED session
+                # remain forward-only: append mode cannot retract.)
+                ev = pd.concat(rows)
+                spans = [
+                    (int(ms), int(ms), 1, float(v))
+                    for ms, v in zip(ev["ms"], ev["value"])
+                ]
+                if cur is not None:
+                    spans.append(cur)
+                spans.sort(key=lambda s: (s[0], s[1]))
+                cur = None
+                for s in spans:
                     if cur is None:
-                        cur = (ms, ms, 1, value)
-                    elif ms - cur[1] > gap_ms:
+                        cur = s
+                    elif s[0] - cur[1] > gap_ms:
                         closed.append(cur)
-                        cur = (ms, ms, 1, value)
+                        cur = s
                     else:
-                        cur = (cur[0], max(cur[1], ms), cur[2] + 1, cur[3] + value)
+                        cur = (
+                            cur[0],
+                            max(cur[1], s[1]),
+                            cur[2] + s[2],
+                            cur[3] + s[3],
+                        )
             if cur is not None:
                 state.update(cur)
                 # event-time timeout must stay ahead of the current watermark
@@ -90,14 +110,42 @@ def make_sessionizer(gap_ms: int):
     return fn
 
 
+_UNIT_MS = {
+    "ms": 1,
+    "millisecond": 1,
+    "sec": 1_000,
+    "second": 1_000,
+    "min": 60_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _parse_gap_ms(gap: str) -> int:
+    """'30 minutes' / '1 minute' / '90 sec' → milliseconds, with the same
+    unit tolerance as Spark's interval parser for the sibling ``watermark``
+    string (singular/plural/abbreviated), and a clear error otherwise."""
+    try:
+        qty, unit = gap.split()
+        unit = unit.lower()
+        if unit != "ms":
+            unit = unit.rstrip("s") or "sec"  # 'seconds'→'second', 's'→'sec'
+        unit = {"m": "min", "h": "hour", "d": "day"}.get(unit, unit)
+        return int(qty) * _UNIT_MS[unit]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unparseable gap {gap!r}: expected '<int> "
+            f"{'|'.join(sorted(_UNIT_MS))}' (singular or plural)"
+        ) from None
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Gap sessionization of a STREAMING events frame (ts, user_id, value …)
     → closed sessions, append-mode."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    unit_ms = {"minutes": 60_000, "seconds": 1_000, "hours": 3_600_000}
-    qty, unit = gap.split()
-    gap_ms = int(qty) * unit_ms[unit]
+    gap_ms = _parse_gap_ms(gap)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

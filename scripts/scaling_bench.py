@@ -87,7 +87,9 @@ def _run_child(cores: int, corpus_dir: str, lsh_dir: str, jobs: tuple[str, ...] 
     # honest per-cluster-size measurement (same rationale as bench.py's
     # best-of-2). Caches are cleared between repeats so the real compute
     # (shingle/minhash/scorer work) is fully re-measured.
-    timed_runs = int(os.environ.get("SCALING_TIMED_RUNS", "2"))
+    # clamp ≥1: 0 would leave the *_sec fields at float('inf'), which json
+    # serializes as bare `Infinity` — an invalid JSON line downstream
+    timed_runs = max(1, int(os.environ.get("SCALING_TIMED_RUNS", "2")))
     out: dict = {}
     if "kg" in jobs:
         docs = spark.read.parquet(corpus_dir)

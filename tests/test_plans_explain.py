@@ -192,6 +192,49 @@ def test_ivf_plan_shape(spark):
     assert "cluster#" in plan or "IN" in plan  # probe predicate present
 
 
+def test_kg_edge_resolution_no_mandatory_broadcast(spark):
+    """Round-3 verdict item 1: the mention→person resolve table in
+    ``build_edges`` is web-scale at 10^12 docs, so the resolution joins must
+    NOT carry an explicit broadcast hint (which would bypass the AQE runtime
+    size threshold installed in session.py). AQE may still *choose* a runtime
+    broadcast when the side is measured small — that is the desired shape."""
+    from pyspark.sql import functions as F
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        build_edges,
+        build_nodes,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("u1", "王明", "李玲", "夫妻"),
+            ("u2", "王明博士", "李玲", "夫妻"),
+            ("u2", "王明", "張豪", "師生"),
+            ("u3", "陌生人", "李玲", "朋友"),
+        ],
+        "url string, subj string, obj string, rel string",
+    )
+    linked = spark.createDataFrame(
+        [
+            ("王明", "王明", 2, "王明"),
+            ("王明博士", "王明", 1, "王明"),
+            ("李玲", "李玲", 3, "李玲"),
+            ("張豪", "張豪", 1, "張豪"),
+        ],
+        "mention string, norm string, n_docs long, component string",
+    )
+    nodes = build_nodes(linked)
+    edges = build_edges(triples, linked, nodes)
+    analyzed = edges._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # values unchanged by dropping the hint: both 王明 spellings resolve to
+    # one person_id, the unlinked mention falls back to its own hash
+    rows = {(r.rel, r.n_docs) for r in edges.collect()}
+    spouse = [r for r in edges.collect() if r.rel == "夫妻"]
+    assert len(spouse) == 1 and spouse[0].n_docs == 2
+    assert ("師生", 1) in rows and ("朋友", 1) in rows
+
+
 def test_gopher_quality_plan_shape(spark):
     """Repetition features are per-row HOF folds: the only exchange is the
     final group-by census, no explode (Generate), no Python nodes."""

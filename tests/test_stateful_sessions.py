@@ -134,3 +134,62 @@ def test_sessionizer_timeout_kernel():
     assert out2[0].iloc[0]["n_events"] == 2 and out2[0].iloc[0]["sum_value"] == 3.0
     assert st2._v == (5_000_000, 5_000_000, 1, 4.0)  # second stays open
     assert st2.timeout_set == 5_000_000 + 1_800_000
+
+
+def test_sessionizer_late_event_kernel():
+    """Round-3 advice: a late (within-watermark) event that predates the
+    open session must extend session_start BACKWARDS when within the gap,
+    and close as its own earlier session when beyond it — matching batch
+    gap-sessionization, not the old forward-only merge."""
+    gap = 1_800_000  # 30 min
+    fn = make_sessionizer(gap_ms=gap)
+
+    # late event 10 min BEFORE the open session's start → start extends back
+    st = _FakeState(value=(3_600_000, 3_900_000, 2, 2.0))
+    pdf = pd.DataFrame({"ts": pd.to_datetime([3_000_000], unit="ms"), "value": [5.0]})
+    assert list(fn((1,), iter([pdf]), st)) == []  # nothing closes
+    assert st._v == (3_000_000, 3_900_000, 3, 7.0)
+
+    # late event >gap before the open session → separate EARLIER session
+    # closes immediately; the open session is untouched
+    st2 = _FakeState(value=(7_200_000, 7_500_000, 2, 2.0))
+    pdf2 = pd.DataFrame(
+        {"ts": pd.to_datetime([1_000_000, 1_060_000], unit="ms"), "value": [1.0, 1.0]}
+    )
+    out = list(fn((1,), iter([pdf2]), st2))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert (row["n_events"], row["sum_value"]) == (2, 2.0)
+    assert row["session_start"] == pd.Timestamp(1_000_000, unit="ms")
+    assert row["session_end"] == pd.Timestamp(1_060_000, unit="ms")
+    assert st2._v == (7_200_000, 7_500_000, 2, 2.0)
+
+    # chain: late events bridge backwards INTO the open session
+    st3 = _FakeState(value=(3_600_000, 3_900_000, 2, 2.0))
+    pdf3 = pd.DataFrame(
+        {"ts": pd.to_datetime([500_000, 2_000_000], unit="ms"), "value": [1.0, 1.0]}
+    )
+    out3 = list(fn((1,), iter([pdf3]), st3))
+    # 500k → 2000k gap is 1500k < 30min? no: 1_500_000 < 1_800_000 → merge;
+    # 2000k → 3600k gap is 1600k < 1800k → merge: one open session
+    assert out3 == []
+    assert st3._v == (500_000, 3_900_000, 4, 4.0)
+
+
+def test_parse_gap_units():
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.streaming.sessions import (
+        _parse_gap_ms,
+    )
+    import pytest
+
+    assert _parse_gap_ms("30 minutes") == 1_800_000
+    assert _parse_gap_ms("1 minute") == 60_000
+    assert _parse_gap_ms("90 sec") == 90_000
+    assert _parse_gap_ms("2 hours") == 7_200_000
+    assert _parse_gap_ms("1 h") == 3_600_000
+    assert _parse_gap_ms("250 ms") == 250
+    assert _parse_gap_ms("1 day") == 86_400_000
+    with pytest.raises(ValueError, match="unparseable gap"):
+        _parse_gap_ms("soon")
+    with pytest.raises(ValueError, match="unparseable gap"):
+        _parse_gap_ms("5 fortnights")
