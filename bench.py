@@ -102,6 +102,48 @@ def kg_bench(spark, n_docs: int) -> dict:
     }
 
 
+def coref_bench(spark, n_docs: int) -> dict:
+    """Candidate-pair saving from intra-doc coreference (round-3 verdict
+    item 5): the same NER'd corpus with and without ``coref_stage``
+    canonicalization before pair generation. Candidate pairs per doc =
+    C(|entities|, 2) — the quantity the per-pair RE scorer pays for
+    (reference blow-up site: sota_ner/ckip_expansion.py:22-23 builds
+    itertools.combinations over raw surface forms, so title/alias variants
+    multiply pair-scoring cost). ``coref_sec`` times the canonicalization
+    pass itself (pure JVM HOFs, map-only)."""
+    import pyspark.sql.functions as F
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.coref import (
+        coref_stage,
+    )
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        expanded_frame,
+    )
+
+    corpus = generate_corpus(spark, n_docs, seed=42)
+    ents = (
+        expanded_frame(corpus, cache=False)
+        .select("url", "ckip_entity")
+        .localCheckpoint()
+    )
+
+    def n_pairs(df) -> int:
+        n = F.size("ckip_entity").cast("long")
+        return int(df.agg(F.sum(n * (n - 1) / 2)).first()[0] or 0)
+
+    raw_pairs = n_pairs(ents)
+    t0 = time.perf_counter()
+    coref_pairs = n_pairs(coref_stage(ents))
+    coref_sec = time.perf_counter() - t0
+    return {
+        "docs": n_docs,
+        "raw_candidate_pairs": raw_pairs,
+        "coref_candidate_pairs": coref_pairs,
+        "pair_reduction_pct": round(100.0 * (1 - coref_pairs / max(raw_pairs, 1)), 2),
+        "coref_sec": round(coref_sec, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
@@ -161,6 +203,9 @@ def main() -> None:
         "docs_per_sec": kg["docs_per_sec"],
         "triples_per_sec": kg["triples_per_sec"],
     }
+
+    if os.environ.get("SPARK_GRAFT_COREF") == "1":
+        result["coref"] = coref_bench(spark, max(2000, n_docs // 10))
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()

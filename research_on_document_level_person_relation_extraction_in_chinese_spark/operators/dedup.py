@@ -259,29 +259,40 @@ def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -
     return _jaccard_select(joined, threshold)
 
 
-def _inverted_index_counts(sh: DataFrame, threshold: float, prefix_filter: bool) -> DataFrame:
-    """Exact intersection counts via the inverted-index set-similarity join.
+def _inverted_index_counts(sh: DataFrame) -> DataFrame:
+    """Exact intersection counts via the plain (unfiltered) inverted-index
+    self-join — the baseline/testing path; no shingle arrays ever shuffle."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, on=["blk", "sh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
 
-    ``prefix_filter=True`` is the open-vocabulary scale path (PPJoin-style):
-    shingles are globally ordered by (document frequency, shingle) and each
-    doc joins only on its ⌊(1−θ)·|A|⌋+1 rarest shingles — LOSSLESS for
-    Jaccard ≥ θ (any qualifying pair shares ≥ θ·max(|A|,|B|) shingles, so the
-    globally-smallest common shingle lands in both prefixes), and hot
-    shingles (the quadratic fan-out risk) rank last so they drop out of every
-    prefix. Candidates then re-join the full index for the exact count.
-    """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    if not prefix_filter:
-        a, b = sh.alias("a"), sh.alias("b")
-        return (
-            a.join(b, on=["blk", "sh"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-            .agg(F.count("*").alias("n_common"))
-        )
 
+def _prefix_filtered_counts(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact counts via the PPJoin-style prefix filter — the open-vocabulary
+    scale path. → (a_id, b_id, n_common, a_sz, b_sz).
+
+    Candidate generation: shingles are globally ordered by (document
+    frequency, shingle) and each doc joins only on its ⌊(1−θ)·|A|⌋+1 rarest
+    shingles — LOSSLESS for Jaccard ≥ θ (any qualifying pair shares ≥
+    θ·max(|A|,|B|) shingles, so the globally-smallest common shingle lands in
+    both prefixes), and hot shingles (the quadratic fan-out risk) rank last
+    so they drop out of every prefix.
+
+    Verify: candidates join the per-doc shingle ARRAY table (one row per
+    doc, PPJoin's canonical verify shape) and |A∩B| is a per-row JVM
+    ``array_intersect`` — round-4 profile on the sf0.1 open-vocab fixture:
+    8.2 s → 2.4 s vs re-joining the exploded index, because the verify
+    shuffle moves |cand| array rows instead of |cand|×|doc| exploded rows;
+    the per-doc rank window itself measured 1.8 s (NOT the bottleneck; a
+    collect_list+array_sort aggregate variant was slower at 2.8 s). Row
+    width is bounded by two per-doc arrays, never per-corpus state."""
     from pyspark.sql.window import Window
 
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     prefix = (
@@ -298,13 +309,34 @@ def _inverted_index_counts(sh: DataFrame, threshold: float, prefix_filter: bool)
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    a_sh = sh.select(F.col("id").alias("a_id"), F.col("sh"))
-    b_sh = sh.select(F.col("id").alias("b_id"), F.col("sh"))
+    doc_sets = sh.groupBy("id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n_sh")
+    )
     return (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(
+            doc_sets.select(
+                F.col("id").alias("a_id"),
+                F.col("shs").alias("a_shs"),
+                F.col("n_sh").alias("a_sz"),
+            ),
+            "a_id",
+        )
+        .join(
+            doc_sets.select(
+                F.col("id").alias("b_id"),
+                F.col("shs").alias("b_shs"),
+                F.col("n_sh").alias("b_sz"),
+            ),
+            "b_id",
+        )
+        # candidates share ≥1 prefix shingle by construction, so n_common ≥ 1
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_shs", "b_shs")).cast("long").alias("n_common"),
+            "a_sz",
+            "b_sz",
+        )
     )
 
 
@@ -389,10 +421,10 @@ def ngram_jaccard_pairs(
 
     - ``dense``  — small global vocabulary ⇒ bit-vector popcount Jaccard over
       the block self-join (``_dense_bitmask_counts``).
-    - ``prefix`` — open vocabulary ⇒ prefix-filtered inverted index
-      (``_inverted_index_counts(prefix_filter=True)``): hot shingles never
-      join, candidate fan-out is bounded by rare-shingle frequencies — the
-      100-TB shape.
+    - ``prefix`` — open vocabulary ⇒ prefix-filtered candidates + per-pair
+      array-intersect verify (``_prefix_filtered_counts``): hot shingles
+      never join, candidate fan-out is bounded by rare-shingle frequencies —
+      the 100-TB shape.
     - ``inverted`` — the unfiltered inverted index (baseline/testing).
     - ``auto``   — one cheap distinct-count decides dense vs prefix.
 
@@ -431,14 +463,12 @@ def ngram_jaccard_pairs(
 
     if strategy == "dense":
         return _dense_jaccard_pairs(sh, vocab, threshold)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if strategy == "prefix":
-        inter = _inverted_index_counts(sh, threshold, prefix_filter=True)
-    elif strategy == "inverted":
-        inter = _inverted_index_counts(sh, threshold, prefix_filter=False)
-    else:
-        raise ValueError(f"unknown strategy {strategy!r}")
-    return _jaccard_from_counts(inter, sizes, threshold)
+        return _jaccard_select(_prefix_filtered_counts(sh, threshold), threshold)
+    if strategy == "inverted":
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        return _jaccard_from_counts(_inverted_index_counts(sh), sizes, threshold)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def simhash(text: Column, n: int = 2, bits: int = 16) -> Column:

@@ -62,6 +62,112 @@ def mention_edges(mentions: DataFrame, refine_blocks: bool = True) -> DataFrame:
     )
 
 
+def _char_bigrams(col):
+    """Distinct character bigrams of a name (JVM HOF, no UDF); single-char
+    names shingle to themselves (sequence(1,0) would run DESCENDING)."""
+    return F.array_distinct(
+        F.when(F.length(col) < 2, F.array(col)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - F.lit(1)),
+                lambda i: F.substring(col, i, F.lit(2)),
+            )
+        )
+    )
+
+
+def _salted_block_pairs(m: DataFrame, n_salt: int) -> DataFrame:
+    """Self-join on ``block`` → candidate pairs (a.* , b.*), a.mention <
+    b.mention, each unordered pair exactly once per block.
+
+    ``n_salt > 1`` splits every block into salt sub-keys (left side keeps
+    its own hash-salt, right side replicates across all salts) so a hot
+    block — the 陳/林/王 surname skew, where one surname covers several
+    percent of all Chinese names — shuffles as ``n_salt`` balanced
+    sub-blocks instead of one straggler partition. Replication factor is
+    ``n_salt`` on the right side only; results are identical to the
+    unsalted join (asserted in tests/test_linking_cc.py)."""
+    if n_salt <= 1:
+        a, b = m.alias("a"), m.alias("b")
+        return a.join(b, on="block").where(F.col("a.mention") < F.col("b.mention"))
+    left = m.withColumn(
+        "_salt", F.pmod(F.xxhash64("mention"), F.lit(n_salt)).cast("int")
+    )
+    right = m.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        left.alias("a")
+        .join(right.alias("b"), on=["block", "_salt"])
+        .where(F.col("a.mention") < F.col("b.mention"))
+    )
+
+
+def fuzzy_mention_edges(
+    mentions: DataFrame,
+    theta: float = 0.5,
+    n_salt: int = 1,
+    context: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy similarity edges (north rule: blocking + PAIRWISE name/context
+    similarity) — catches variant spellings the exact-norm rule never merges
+    (nicknames 志玲↔林志玲, partial given names), opt-in so the default
+    pipeline keeps reference parity.
+
+    Blocking (union of two keys, so recall survives both variant families):
+    - surname block (first char of norm): same-surname spelling variants;
+    - given-name block (last two chars): nickname = given name without the
+      surname shares this key with the full name.
+    Candidates then pass a pairwise predicate: char-bigram Jaccard(norm_a,
+    norm_b) ≥ ``theta`` OR strict-suffix containment (the shorter norm, ≥2
+    chars, is the longer's suffix — the nickname shape; reference cost
+    context: aliases multiply pair-scoring in sota_ner/ckip_expansion.py:22-23).
+
+    ``context`` (optional, (url, mention) doc co-occurrence) keeps only
+    pairs that co-occur in ≥1 document — the precision guard against a bare
+    given name bridging two different full names (志玲 ↔ 林志玲/王志玲 in
+    unrelated corpora). At 100 TB you'd bound docs-per-mention first; the
+    semi-join shape itself is shuffle-on-mention, no collect.
+
+    ``n_salt`` routes the block self-join through the salted off-diagonal
+    path for hot-surname skew (see ``_salted_block_pairs``)."""
+    m = mentions.select("mention", "norm").where(F.length("norm") >= 2)
+    sur_block = F.concat(F.lit("s|"), F.substring("norm", 1, 1))
+    given_block = F.concat(
+        F.lit("g|"), F.substring(F.col("norm"), F.length("norm") - F.lit(1), F.lit(2))
+    )
+    blocked = m.withColumn("block", F.explode(F.array(sur_block, given_block)))
+    cand = (
+        _salted_block_pairs(blocked, n_salt)
+        .select(
+            F.col("a.mention").alias("src"),
+            F.col("a.norm").alias("na"),
+            F.col("b.mention").alias("dst"),
+            F.col("b.norm").alias("nb"),
+        )
+        .distinct()  # a pair sharing both blocks appears twice
+    )
+    bga, bgb = _char_bigrams(F.col("na")), _char_bigrams(F.col("nb"))
+    jaccard = F.size(F.array_intersect(bga, bgb)) / F.size(F.array_union(bga, bgb))
+    containment = (
+        F.when(
+            F.length("na") > F.length("nb"), F.col("na").endswith(F.col("nb"))
+        )
+        .when(F.length("nb") > F.length("na"), F.col("nb").endswith(F.col("na")))
+        .otherwise(F.lit(False))
+    )
+    edges = cand.where((jaccard >= F.lit(theta)) | containment).select("src", "dst")
+    if context is not None:
+        ca = context.select(F.col("mention").alias("src"), "url")
+        cb = context.select(F.col("mention").alias("dst"), "url")
+        edges = (
+            edges.join(ca, on="src")
+            .join(cb, on=["dst", "url"])
+            .select("src", "dst")
+            .distinct()
+        )
+    return edges
+
+
 def _canonical_edges(edges: DataFrame) -> DataFrame:
     """(src > dst) direction, self-loops dropped, deduped."""
     return (
@@ -145,10 +251,32 @@ def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 
     )
 
 
-def link_entities(expanded: DataFrame) -> DataFrame:
-    """→ (mention, norm, n_docs, component) — the alias-resolution table."""
+def link_entities(
+    expanded: DataFrame,
+    fuzzy: bool = False,
+    theta: float = 0.5,
+    n_salt: int = 1,
+    use_context: bool = False,
+) -> DataFrame:
+    """→ (mention, norm, n_docs, component) — the alias-resolution table.
+
+    ``fuzzy=True`` unions the pairwise-similarity edges (nickname/variant
+    merging, ``fuzzy_mention_edges``) into the exact-norm edge set before
+    connected components; OFF by default so the parity pipeline keeps
+    reference behavior (same opt-in discipline as ``coref_stage``).
+    ``use_context=True`` additionally requires fuzzy pairs to co-occur in
+    at least one document."""
     mentions = mention_table(expanded)
     edges = mention_edges(mentions)
+    if fuzzy:
+        context = (
+            expanded.select("url", F.explode("ckip_entity").alias("mention")).distinct()
+            if use_context
+            else None
+        )
+        edges = edges.union(
+            fuzzy_mention_edges(mentions, theta=theta, n_salt=n_salt, context=context)
+        ).distinct()
     comps = connected_components(
         mentions.select(F.col("mention").alias("id")), edges
     )

@@ -76,6 +76,25 @@ class StageCatalog:
         else:
             df.write.mode("overwrite").parquet(self._path(name))
 
+        return self._write_manifest(
+            name,
+            inputs=inputs,
+            metrics=metrics,
+            schema_json=schema_json,
+            bucket_col=bucket_col,
+            n_buckets=n_buckets,
+        )
+
+    def _write_manifest(
+        self,
+        name: str,
+        *,
+        inputs: list[str] | None,
+        metrics: dict | None,
+        schema_json: dict,
+        bucket_col: str | None,
+        n_buckets: int,
+    ) -> str:
         snapshot_id = uuid.uuid4().hex[:16]
         parents = {}
         for inp in inputs or []:
@@ -97,6 +116,37 @@ class StageCatalog:
         with open(self._manifest_path(name), "w", encoding="utf-8") as f:
             json.dump(manifest, f, ensure_ascii=False, indent=1)
         return snapshot_id
+
+    def append_partial(self, df: DataFrame, name: str) -> None:
+        """Incremental, KILL-SAFE flush into an un-finalized stage table:
+        each call is one parquet append job whose files become visible only
+        on job commit, so an interrupted run leaves whole committed chunks
+        (plus an ignored ``_temporary`` dir) and ``resume_filter`` drops
+        exactly those rows on rerun — the reference's incremental CSV flush
+        (``sota_ner/gemini_expansion.py:219-221``) without driver-side state.
+        ``has_stage`` stays False (no manifest) until ``finalize_stage``."""
+        df.write.mode("append").parquet(self._path(name))
+
+    def finalize_stage(
+        self,
+        name: str,
+        *,
+        inputs: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> str:
+        """Write the manifest for a stage built via ``append_partial`` —
+        after this, ``has_stage`` is True and resumed pipelines read it like
+        any checkpointed stage (on Iceberg this is the snapshot commit)."""
+        spark = SparkSession.getActiveSession()
+        schema_json = spark.read.parquet(self._path(name)).schema.jsonValue()
+        return self._write_manifest(
+            name,
+            inputs=inputs,
+            metrics=metrics,
+            schema_json=schema_json,
+            bucket_col=None,
+            n_buckets=0,
+        )
 
     def read_stage(
         self,

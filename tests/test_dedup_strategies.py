@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
     _inverted_index_counts,
+    _prefix_filtered_counts,
     char_shingles,
     ngram_jaccard_pairs,
 )
@@ -60,8 +61,8 @@ def test_prefix_filter_prunes_hot_shingles(spark, zipf_docs):
         F.col("doc_id").alias("id"),
         F.explode(char_shingles(F.col("text"), 3)).alias("sh"),
     )
-    co_occurring = _inverted_index_counts(sh, 0.5, prefix_filter=False).count()
-    candidates = _inverted_index_counts(sh, 0.5, prefix_filter=True).count()
+    co_occurring = _inverted_index_counts(sh).count()
+    candidates = _prefix_filtered_counts(sh, 0.5).count()
     # every pair co-occurs via the hot boilerplate (C(46,2)=1035); the prefix
     # filter joins only on rare shingles so candidates collapse to the dups
     assert co_occurring == 46 * 45 // 2

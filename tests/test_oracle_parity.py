@@ -63,8 +63,8 @@ def test_every_query_listed_or_flagged():
     # only the documented non-SQL-expressible ops may lack an oracle
     assert no_oracle <= {
         "kg_triples",
-        "kg_nodes",
-        "kg_edges",
+        "kg_nodes_pipeline",
+        "kg_edges_pipeline",
         "kg_pagerank",
         "kg_ner_re_replay",
         "kg_generation_replay",
