@@ -73,7 +73,7 @@ def cross_sentence_summary(stats: DataFrame) -> DataFrame:
     )
 
 
-def ner_overlap_audit(expanded: DataFrame) -> DataFrame:
+def ner_overlap_audit(expanded: DataFrame, multiplicity: bool = False) -> DataFrame:
     """NER-source overlap audit (reference
     ``sota_ner/gemini_expansion.py:243-277`` ``overlap()``): corpus totals of
     CKIP mentions, LLM mentions, hallucinated LLM mentions (absent from the
@@ -82,14 +82,45 @@ def ner_overlap_audit(expanded: DataFrame) -> DataFrame:
     Python. Requires a dual-NER expanded frame (``ner_sources`` incl. ckip +
     gemini) filtered to non-empty merge labels like the reference.
 
-    INTENTIONAL DEVIATION from the reference's counting: its nested loop
-    increments the hallucination counter once per (ckip, gemini) pair —
-    multiplying each hallucinated name by the doc's CKIP mention count — and
-    counts intersection once per duplicate match; this audit uses per-mention
-    SET semantics (each name counted once per doc). The emitted numbers are
-    therefore not bit-compatible with a reference run — deliberately, since
-    the multiplied counts measure nothing."""
+    Default (``multiplicity=False``) is an INTENTIONAL DEVIATION: the
+    reference's nested loop increments the hallucination counter once per
+    (ckip, gemini) pair — multiplying each hallucinated name by the doc's
+    CKIP mention count — and counts intersection once per duplicate match;
+    the default uses per-mention SET semantics (each name counted once per
+    doc) because the multiplied counts measure nothing.
+
+    ``multiplicity=True`` reproduces the reference's nested-loop numbers
+    BIT-FOR-BIT (gemini_expansion.py:253-267) for anyone comparing against a
+    reference run: per doc, hallucination = |ckip| × (# gemini mentions
+    absent from the doc, duplicates kept), intersection = Σ over ckip
+    mentions of the count of equal in-doc gemini mentions, gemini_count =
+    Σ|gemini| − hallucination, union = ckip + gemini − intersection (so the
+    pair-multiplied numbers can go negative on hallucination-heavy docs —
+    faithfully)."""
     doc = F.col("trad_text")
+    if multiplicity:
+        # duplicates KEPT everywhere (the reference iterates raw lists)
+        clean_g = F.filter("gemini_ner", lambda g: doc.contains(g))
+        ck_n = F.size("ckip_entity").cast("long")
+        gm_n = F.size("gemini_ner").cast("long")
+        hall = ck_n * (gm_n - F.size(clean_g).cast("long"))
+        inter = F.aggregate(
+            "ckip_entity",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.size(F.filter(clean_g, lambda g: g == c)),
+        )
+        per_doc = expanded.filter(F.size("merge_label") > 0).select(
+            ck_n.alias("_ck"), gm_n.alias("_gm"), hall.alias("_hall"), inter.alias("_inter")
+        )
+        return per_doc.agg(
+            F.sum("_ck").cast("long").alias("ckip_count"),
+            (F.sum("_gm") - F.sum("_hall")).cast("long").alias("gemini_count"),
+            F.sum("_hall").cast("long").alias("gemini_hallucination"),
+            F.sum("_inter").cast("long").alias("intersection"),
+            (F.sum("_ck") + F.sum("_gm") - F.sum("_hall") - F.sum("_inter"))
+            .cast("long")
+            .alias("union_count"),
+        )
     clean = F.filter("gemini_ner", lambda x: doc.contains(x))
     base = expanded.filter(F.size("merge_label") > 0).select(
         "ckip_entity",
