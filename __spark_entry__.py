@@ -733,6 +733,35 @@ def q_kg_pagerank(spark, sf_dir):
     )
 
 
+def q_kg_pagerank_values(spark, sf_dir):
+    """PageRank VALUE gate: the same power-iteration operator
+    (operators/graph.py:pagerank — dangling-mass redistribution, weighted
+    contributions, one shuffle/iteration) run for a FIXED 10 iterations
+    (tol=0 disables early stop) over a deterministic weighted digraph derived
+    from customer keys by pure modular arithmetic, so DuckDB can replay the
+    identical IEEE-double recurrence with 10 unrolled CTE levels. dst ids
+    40–49 never appear as src — the dangling-mass path is exercised, not just
+    covered. Ranks rounded to 6 dp (residual cross-engine float noise is
+    sum-order only, ~1e-14)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        pagerank,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        c.select(
+            (F.col("c_custkey") % 40).alias("src"),
+            ((F.col("c_custkey") * 7 + 3) % 50).alias("dst"),
+            (F.col("c_custkey") % 5 + 1).cast("double").alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    pr = pagerank(edges, max_iter=10, tol=0.0, check_every=100, weight="w")
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_kg_ner_re_replay(spark, sf_dir):
     """Entry point C (NER→RE decomposed replay): per-pair 5-way inference
     over NER pairs, per-doc reassembly into `有 (..)` text, re-parse via the
@@ -784,7 +813,19 @@ def q_kg_union_expansion(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    """Arrow-batched media feature extraction, now VALUE-gated (round 4):
+    restricted to printable-ASCII docs (absolute \\A..\\z anchors — the
+    frame_samples parity trick) so the byte-domain fake decode (histogram
+    bucket 0 = bytes ≡ 0 mod 8, + md5-derived jitter) is replayable in DuckDB
+    with per-row scalar math: regexp char-class count for the histogram,
+    '0x'||substr(md5(text),1,8) for the jitter seed — bit-identical doubles,
+    no sum-order noise. The all-docs (binary, non-ASCII) plumbing stays
+    exercised by tests/test_multimodal_streaming.py."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .where(F.col("text").rlike(r"\A[\x20-\x7e]*\z"))
+    )
     feats = extract_features(attach_media(d), dims=8)
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
@@ -864,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes_pipeline": q_kg_nodes_pipeline,
         "kg_edges_pipeline": q_kg_edges_pipeline,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_values": q_kg_pagerank_values,
         "kg_ner_re_replay": q_kg_ner_re_replay,
         "kg_generation_replay": q_kg_generation_replay,
         "kg_union_expansion": q_kg_union_expansion,
@@ -877,6 +919,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _SHINGLE_HASH_SQL = "(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % 1000000007)"
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank oracle for ``kg_pagerank_values``.
+
+    One plain (non-recursive) CTE level per power iteration — sidesteps the
+    SQL restriction on aggregating the recursive table. Each rank level is
+    MATERIALIZED: DuckDB inlines plain CTEs, and every level references its
+    predecessor twice (contributions + dangling mass), so un-materialized
+    unrolling expands 2^iters copies of the scan. Replays
+    graph.py:pagerank's exact double arithmetic: per-edge rank*w/deg summed
+    per dst, dangling mass as a scalar subquery, (1-d)/n teleport. The
+    damping constants are spelled ``(1.0 - {d})`` / ``{d}`` so DuckDB evaluates
+    the same IEEE ops as the Python driver literals."""
+    parts = [
+        """
+    WITH e AS (
+        SELECT src, dst, SUM(w) AS w FROM (
+            SELECT c_custkey % 40 AS src, (c_custkey * 7 + 3) % 50 AS dst,
+                   CAST(c_custkey % 5 + 1 AS DOUBLE) AS w
+            FROM customer
+        ) WHERE src <> dst GROUP BY src, dst
+    ), v AS (
+        SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    deg AS (SELECT src, SUM(w) AS deg FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f""",
+    d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS m
+             FROM {p} r LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),
+    c{i} AS (SELECT e.dst AS id, SUM(r.rank * e.w / deg.deg) AS s
+             FROM e JOIN {p} r ON e.src = r.id JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+    r{i} AS MATERIALIZED (SELECT v.id,
+                (1.0 - {damping}) / (SELECT n FROM nn)
+                + {damping} * (COALESCE(c{i}.s, 0.0)
+                               + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS rank
+             FROM v LEFT JOIN c{i} ON v.id = c{i}.id)"""
+        )
+    parts.append(f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
 
 # Shared CTE prefix for the kg_nodes / kg_edges value oracles: rebuilds the
 # _kg_link_fixture mention corpus, the fuzzy-linking edge predicate
@@ -1654,15 +1741,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN resolve ro ON tr.obj = ro.mention
             GROUP BY 1, 2, 3
         """,
+        "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
+        "media_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(ROUND(
+                            CAST(length(text) - length(regexp_replace(
+                                     text, '[ (08@HPX`hpx]', '', 'g')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)
+                            + (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+                               / 4294967296.0) * 1e-6,
+                        9), 6) END AS f0
+            FROM documents
+            WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]*')
+        """,
         # kg_triples / kg_nodes_pipeline / kg_edges_pipeline / kg_pagerank /
-        # kg_ner_re_replay / kg_generation_replay / kg_union_expansion /
-        # media_features:
+        # kg_ner_re_replay / kg_generation_replay / kg_union_expansion:
         # non-SQL-expressible (deterministic scorer pipeline, iterative
-        # connected components / power iteration, Arrow binary plumbing) →
-        # rows-only check;
+        # connected components / early-stopping power iteration on the
+        # pipeline graph) → rows-only check;
         # their correctness gate is tests/test_pipeline_e2e.py +
         # tests/test_re_replay.py (parity vs the reference-logic port) and
-        # tests/test_multimodal_streaming.py. (kg_nodes / kg_edges above ARE
-        # value-gated: the graph builders re-run over the deterministic
-        # fixture with a recursive-CTE CC oracle.)
+        # tests/test_graph_pagerank.py. (kg_nodes / kg_edges / media_features
+        # / kg_pagerank_values above ARE value-gated: the operators re-run
+        # over deterministic fixtures with recursive-CTE CC / unrolled
+        # power-iteration / scalar-math oracles.)
     }

@@ -69,5 +69,4 @@ def test_every_query_listed_or_flagged():
         "kg_ner_re_replay",
         "kg_generation_replay",
         "kg_union_expansion",
-        "media_features",
     }, no_oracle

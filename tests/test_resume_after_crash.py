@@ -55,3 +55,31 @@ def test_document_level_resume_filter(spark, tmp_path):
     remaining = resume_filter(docs, cat, "annotated")
     assert remaining.count() == docs.count() - half.count()
     assert remaining.join(half, "url", "inner").count() == 0
+
+
+def test_append_partial_and_finalize(spark, tmp_path):
+    """Incremental stage build (round-3 verdict item 8 plumbing): chunked
+    kill-safe appends leave has_stage False until finalize_stage writes the
+    manifest; resume_filter sees exactly the committed chunks; the finalized
+    stage reads back complete with the appended-union schema and lineage."""
+    docs = generate_corpus(spark, N, seed=42).select("url", "text")
+    cat = StageCatalog(str(tmp_path / "stages"))
+
+    c0 = docs.where(F.pmod(F.hash("url"), F.lit(3)) == 0)
+    cat.append_partial(c0, "annotated")
+    assert not cat.has_stage("annotated")  # committed data, no manifest yet
+    remaining = resume_filter(docs, cat, "annotated")
+    assert remaining.count() == docs.count() - c0.count()
+
+    for i in (1, 2):
+        cat.append_partial(
+            remaining.where(F.pmod(F.hash("url"), F.lit(3)) == i), "annotated"
+        )
+    cat.finalize_stage("annotated", inputs=["web_pages"], metrics={"n_docs": N})
+    assert cat.has_stage("annotated")
+    back = cat.read_stage(spark, "annotated")
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"url", "text"}
+    assert cat.manifest("annotated")["metrics"] == {"n_docs": N}
+    # nothing left to resume
+    assert resume_filter(docs, cat, "annotated").count() == 0
