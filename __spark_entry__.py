@@ -747,8 +747,18 @@ def q_kg_pagerank_values(spark, sf_dir):
         pagerank,
     )
 
+    pr = pagerank(
+        _customer_digraph(spark, sf_dir), max_iter=10, tol=0.0, check_every=100, weight="w"
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _customer_digraph(spark, sf_dir):
+    """Deterministic weighted digraph from customer keys by pure modular
+    arithmetic (replayable in DuckDB: ``_DIGRAPH_SQL``): src covers 0–39,
+    dst covers 0–49 — ids 40–49 are dangling sinks."""
     c = _t(spark, sf_dir, "customer")
-    edges = (
+    return (
         c.select(
             (F.col("c_custkey") % 40).alias("src"),
             ((F.col("c_custkey") * 7 + 3) % 50).alias("dst"),
@@ -758,8 +768,32 @@ def q_kg_pagerank_values(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
-    pr = pagerank(edges, max_iter=10, tol=0.0, check_every=100, weight="w")
-    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_khop(spark, sf_dir):
+    """Graph traversal VALUE gate: 3-hop BFS ego-network (delta-frontier
+    expansion, operators/graph.py:khop_neighbors) from seeds {0,1,2} on the
+    deterministic customer digraph, vs a DuckDB recursive-CTE shortest-hop
+    closure (UNION-deduped, depth-bounded)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        khop_neighbors,
+    )
+
+    seeds = spark.range(3).select("id")
+    kh = khop_neighbors(_customer_digraph(spark, sf_dir), seeds, k=3)
+    return kh.select("id", "dist")
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Triangle-count VALUE gate: degree-ordered-orientation wedge join
+    (operators/graph.py:triangle_count) on the undirected customer digraph vs
+    DuckDB's canonical a<b<c three-way join — orientation choices differ, the
+    count must not."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(_customer_digraph(spark, sf_dir))
 
 
 def q_kg_ner_re_replay(spark, sf_dir):
@@ -906,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_pipeline": q_kg_edges_pipeline,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_values": q_kg_pagerank_values,
+        "kg_khop": q_kg_khop,
+        "kg_triangles": q_kg_triangles,
         "kg_ner_re_replay": q_kg_ner_re_replay,
         "kg_generation_replay": q_kg_generation_replay,
         "kg_union_expansion": q_kg_union_expansion,
@@ -921,6 +957,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SHINGLE_HASH_SQL = "(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % 1000000007)"
 
 
+_DIGRAPH_SQL = """
+        SELECT src, dst, SUM(w) AS w FROM (
+            SELECT c_custkey % 40 AS src, (c_custkey * 7 + 3) % 50 AS dst,
+                   CAST(c_custkey % 5 + 1 AS DOUBLE) AS w
+            FROM customer
+        ) WHERE src <> dst GROUP BY src, dst
+"""
+
+
 def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank oracle for ``kg_pagerank_values``.
 
@@ -934,13 +979,8 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
     damping constants are spelled ``(1.0 - {d})`` / ``{d}`` so DuckDB evaluates
     the same IEEE ops as the Python driver literals."""
     parts = [
-        """
-    WITH e AS (
-        SELECT src, dst, SUM(w) AS w FROM (
-            SELECT c_custkey % 40 AS src, (c_custkey * 7 + 3) % 50 AS dst,
-                   CAST(c_custkey % 5 + 1 AS DOUBLE) AS w
-            FROM customer
-        ) WHERE src <> dst GROUP BY src, dst
+        f"""
+    WITH e AS ({_DIGRAPH_SQL}
     ), v AS (
         SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e
     ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
@@ -1742,6 +1782,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
+        "kg_khop": f"""
+            WITH RECURSIVE e AS ({_DIGRAPH_SQL}
+            ), bfs AS (
+                SELECT CAST(id AS BIGINT) AS id, 0 AS dist FROM range(3) t(id)
+                UNION
+                SELECT e.dst AS id, b.dist + 1 AS dist
+                FROM bfs b JOIN e ON b.id = e.src
+                WHERE b.dist < 3
+            )
+            SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id
+        """,
+        "kg_triangles": f"""
+            WITH g AS ({_DIGRAPH_SQL}
+            ), ue AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM ue e1
+            JOIN ue e2 ON e1.b = e2.a
+            JOIN ue e3 ON e1.a = e3.a AND e2.b = e3.b
+        """,
         "media_features": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_bytes,

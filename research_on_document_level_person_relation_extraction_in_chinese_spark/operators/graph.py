@@ -68,6 +68,97 @@ def build_edges(triples: DataFrame, linked: DataFrame, nodes: DataFrame) -> Data
     )
 
 
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS ego-network: every vertex within ``k`` hops of the seed set →
+    ``(id, dist)`` with ``dist`` = the hop distance of FIRST discovery
+    (= shortest-path hop count). KG analytics: "who is within 2 relations of
+    陳水扁" over the materialized person graph.
+
+    Scale shape: delta-frontier BFS — each hop joins ONLY the newly
+    discovered frontier against the edge table (one shuffle per hop), the
+    visited anti-join stops re-expansion of known vertices, and
+    ``localCheckpoint`` truncates lineage so k hops don't stack k plans
+    (same discipline as the CC loop in ``operators/linking.py:116``). The
+    per-hop ``isEmpty`` early-exit is one cheap action; the frontier is
+    bounded by the k-ball size, never the full vertex set.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = (
+        seeds.select("id").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected simple graph induced by
+    ``edges`` → one row ``(n_triangles)``. Graph-quality diagnostic for the
+    KG (clustering structure of the co-occurrence relation graph).
+
+    Scale shape: edges are canonicalized (least, greatest), deduped, then
+    ORIENTED from the (degree, id)-smaller endpoint to the larger one — the
+    classic orientation trick that bounds per-vertex out-degree by O(√m), so
+    the wedge join fans out O(m^1.5) instead of Σdeg² (a hub vertex never
+    generates quadratic wedges). Each triangle has exactly one source vertex
+    in the orientation DAG and is counted exactly once by
+    path(u→v→w) ⋈ edge(u→w). Three shuffles total, no driver state.
+    """
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ue.select(F.col("a").alias("id"))
+        .unionAll(ue.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        ue.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def check_graph_consistency(nodes: DataFrame, edges: DataFrame) -> dict:
     """Edge endpoints ⊆ nodes (plus orphan count for triples whose persons
     never appeared as NER mentions)."""
