@@ -584,6 +584,51 @@ def q_dedup_groups(spark, sf_dir):
     return D.near_dup_doc_groups(d, pairs)
 
 
+def _paragraph_docs(spark, sf_dir):
+    """Derived paragraph-structured corpus for CCNet-style paragraph dedup
+    (the synthetic documents table is single-line, so paragraphs are built
+    relationally): doc = order, paragraphs = the order's part names in line
+    order, prefixed by a short ``#<doc_id%7>`` header (< min_chars → never
+    deduped, exercising the short-paragraph gate). Part names recur across
+    orders, giving guaranteed cross-doc duplicate paragraphs, and every
+    construct (join, sort, concat) is exact in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    paras = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("p_name").alias("para"),
+    )
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ln", "para"))),
+            lambda s: s["para"],
+        ),
+    )
+    return (
+        paras.groupBy("doc_id")
+        .agg(body.alias("body"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("#"), (F.col("doc_id") % 7).cast("string"), F.lit("\n"), "body"
+            ).alias("text"),
+        )
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style GLOBAL paragraph dedup — the reference corpus's actual
+    lineage (SURVEY §1.3: CCNet SHA-1 paragraph dedup ran before any
+    extraction): first corpus-wide occurrence of every normalized paragraph
+    wins, later copies are dropped, doc text is rebuilt.
+    operators/dedup.py:paragraph_dedup."""
+    return D.paragraph_dedup(
+        _paragraph_docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # KG pipeline + multimodal plumbing (non-SQL-expressible → rows-only check)
 # --------------------------------------------------------------------------
@@ -933,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
+        "paragraph_dedup": q_paragraph_dedup,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1701,6 +1747,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS canonical_id,
                    CAST(min(lbl) = id AS INT) AS is_canonical
             FROM reach GROUP BY id
+        """,
+        # Independent construction: Spark splits the concatenated text back
+        # into paragraphs via posexplode; the oracle derives (doc_id, idx,
+        # para) directly from lineitem ordering — same values, different path.
+        "paragraph_dedup": """
+            WITH body AS (
+                SELECT l_orderkey AS doc_id,
+                       row_number() OVER (
+                           -- l_linenumber is not unique per order in the
+                           -- synthetic tables; para tie-break mirrors
+                           -- Spark's array_sort(struct(ln, para))
+                           PARTITION BY l_orderkey ORDER BY l_linenumber, p_name
+                       ) AS idx,
+                       p_name AS para
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            allparas AS (
+                SELECT doc_id, 0 AS idx,
+                       '#' || CAST(doc_id % 7 AS VARCHAR) AS para
+                FROM (SELECT DISTINCT doc_id FROM body)
+                UNION ALL
+                SELECT doc_id, idx, para FROM body
+            ),
+            keyed AS (
+                SELECT doc_id, idx, para, md5(lower(trim(para))) AS k,
+                       length(lower(trim(para))) >= 10 AS is_long
+                FROM allparas
+            ),
+            firsts AS (
+                SELECT k, doc_id AS f_doc, idx AS f_idx FROM (
+                    SELECT k, doc_id, idx,
+                           row_number() OVER (
+                               PARTITION BY k ORDER BY doc_id, idx
+                           ) AS rn
+                    FROM keyed WHERE is_long
+                ) WHERE rn = 1
+            ),
+            kept AS (
+                SELECT keyed.doc_id, keyed.idx, keyed.para
+                FROM keyed LEFT JOIN firsts ON keyed.k = firsts.k
+                WHERE (NOT keyed.is_long)
+                   OR (firsts.f_doc = keyed.doc_id AND firsts.f_idx = keyed.idx)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY idx) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            n_orig AS (
+                SELECT doc_id, count(*) AS n_orig FROM allparas GROUP BY doc_id
+            )
+            SELECT n_orig.doc_id,
+                   coalesce(rebuilt.text, '') AS text,
+                   coalesce(rebuilt.n_kept, 0) AS n_kept,
+                   n_orig.n_orig - coalesce(rebuilt.n_kept, 0) AS n_dropped
+            FROM n_orig LEFT JOIN rebuilt ON n_orig.doc_id = rebuilt.doc_id
         """,
         "coref_mentions": """
             WITH h AS (

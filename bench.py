@@ -46,6 +46,7 @@ HEADLINE = [
     "langid_counts",
     "minhash_lsh",
     "minhash_lsh_inverted",
+    "paragraph_dedup",
     "ngram_jaccard",
     "ngram_jaccard_prefix",
     "simhash_sample",

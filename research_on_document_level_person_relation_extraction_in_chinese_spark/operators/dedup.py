@@ -585,3 +585,74 @@ def near_dup_doc_groups(
         F.col("component").alias("canonical_id"),
         (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 10,
+) -> DataFrame:
+    """CCNet-style GLOBAL paragraph dedup — the reference corpus's actual
+    lineage (SURVEY §1.3: the production zh corpus was produced by CCNet's
+    SHA-1 paragraph dedup before any extraction ran). Every normalized
+    (lower+trim) paragraph keeps only its FIRST occurrence corpus-wide
+    (lowest ``(doc_id, idx)``); later occurrences are dropped and the doc
+    text is rebuilt. Paragraphs shorter than ``min_chars`` after trim are
+    never deduped (blank lines / headings survive per-doc).
+    → ``(doc_id, text, n_kept, n_dropped)``.
+
+    Scale shape: the dedup key is ``md5(normalized paragraph)`` so the
+    first-occurrence groupBy shuffles narrow fixed-width keys, never
+    paragraph bodies (CCNet used SHA-1 for the same reason; md5 here keeps
+    the DuckDB oracle exact). First-occurrence = one partial-aggregatable
+    ``min(struct(doc_id, idx))`` — map-side combine, NO window over the
+    paragraph key (a hot boilerplate paragraph would serialize a window's
+    sort), then a semi-join back and one per-doc rebuild aggregate: three
+    shuffles total, all on uniform keys.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("idx", "para"),
+    )
+    norm = F.lower(F.trim(F.col("para")))
+    keyed = paras.select(
+        "doc_id", "idx", "para",
+        F.md5(norm).alias("k"),
+        (F.length(norm) >= min_chars).alias("is_long"),
+    )
+    keyed = _persist_scan(keyed)
+    firsts = (
+        keyed.where("is_long")
+        .groupBy("k")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("f"))
+    )
+    kept = (
+        keyed.join(firsts, "k", "left")
+        .where(
+            (~F.col("is_long"))
+            | ((F.col("f.doc_id") == F.col("doc_id")) & (F.col("f.idx") == F.col("idx")))
+        )
+        .select("doc_id", "idx", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_orig = keyed.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    return (
+        n_orig.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_orig") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )
