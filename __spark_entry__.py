@@ -448,6 +448,20 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """C4/RefinedWeb-style per-domain cap: first 7 docs per source in
+    seeded md5-hash order — exact rank with no window over the raw domain
+    key (operators/training.py:per_key_cap; hot-domain skew-proof)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.training import (
+        per_key_cap,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_key_cap(d, key="source", id_col="doc_id", cap=7).select(
+        "doc_id", "source", "cap_rank"
+    )
+
+
 def q_coref_mentions(spark, sf_dir):
     """Intra-doc coreference kernel (operators/coref.py): synthetic mention
     arrays derived arithmetically from c_custkey (md5-indexed surname/given/
@@ -979,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
         "paragraph_dedup": q_paragraph_dedup,
+        "domain_cap": q_domain_cap,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1747,6 +1762,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS canonical_id,
                    CAST(min(lbl) = id AS INT) AS is_canonical
             FROM reach GROUP BY id
+        """,
+        # The oracle ranks with ONE window over the domain; Spark computes
+        # the same rank two-phase (bucket counts + offsets + sliced window).
+        "domain_cap": """
+            SELECT doc_id, source, cap_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':cap'), 1, 15)
+                               AS BIGINT),
+                               doc_id
+                       ) AS cap_rank
+                FROM documents
+            ) WHERE cap_rank <= 7
         """,
         # Independent construction: Spark splits the concatenated text back
         # into paragraphs via posexplode; the oracle derives (doc_id, idx,

@@ -57,6 +57,7 @@ HEADLINE = [
     "ivf_topk",
     "gopher_quality",
     "balanced_sample",
+    "domain_cap",
 ]
 
 

@@ -149,3 +149,56 @@ def gopher_keep(
         & (F.col("r_mean_word_len") >= min_mean_word_len)
         & (F.col("r_mean_word_len") <= max_mean_word_len)
     )
+
+
+#: C4's terminal-punctuation set (Raffel et al. 2020 §2.2) plus CJK enders
+#: for the zh corpus the reference extracts from.
+C4_TERMINALS = ['.', '!', '?', '"', '。', '！', '？', '」']
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line + page filtering (Raffel et al. 2020 §2.2, the cleanup
+    that produced C4 from Common Crawl — the same corpus family the
+    reference's CCNet pipeline starts from, SURVEY §1.3): keep only lines
+    that end in terminal punctuation AND have ≥ ``min_words``
+    space-separated words; drop the whole page when fewer than
+    ``min_lines`` lines survive, or it mentions ``lorem ipsum``, or it
+    contains a curly brace (code). → surviving docs as
+    ``(doc_id, text, n_lines_kept, n_lines_orig)`` with ``text`` rebuilt
+    from the kept lines.
+
+    Scale shape: one narrow map-only pass — the line logic is a JVM
+    ``filter`` HOF over ``split``, no explode, no shuffle, nothing leaves
+    whole-stage codegen; at 100 TB this runs at scan speed and is the
+    cheapest possible pre-dedup volume cut. Word counting splits on a
+    single space (C4 is whitespace-tokenized English; empty tokens from
+    runs count equally in the DuckDB oracle, keeping the gate exact).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    keep_line = lambda x: (  # noqa: E731 — HOF lambdas need exact arity
+        F.substring(F.trim(x), -1, 1).isin(C4_TERMINALS)
+        & (F.size(F.split(F.trim(x), " ", -1)) >= min_words)
+    )
+    kept = F.filter(lines, keep_line)
+    # page-level rejections must test the ORIGINAL text (a '{' on a dropped
+    # line still kills the page), so they are computed before the rebuild
+    bad_page = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.concat_ws("\n", kept).alias("text"),
+            F.size(kept).alias("n_lines_kept"),
+            F.size(lines).alias("n_lines_orig"),
+            bad_page.alias("_bad"),
+        )
+        .where((F.col("n_lines_kept") >= min_lines) & ~F.col("_bad"))
+        .drop("_bad")
+    )

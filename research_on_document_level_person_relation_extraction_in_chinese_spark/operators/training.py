@@ -195,3 +195,61 @@ def class_balanced_pairs(
     return hash_balanced_sample(
         pairs, F.col(label_col) != negative_class, key=key, seed=seed
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: str = "cap",
+    bucket_shift: int = 54,
+) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb-style curation step that
+    bounds any one domain's contribution to the corpus: keep the first
+    ``cap`` docs per ``key`` in deterministic ``(md5-hash, id)`` order (a
+    seeded uniform shuffle, reproducible under any partitioning). Returns
+    the surviving rows plus their 1-based ``cap_rank`` within the key.
+
+    Scale shape — NO window over the raw domain key (a hot domain like a
+    link farm with 10^8 pages would serialize that window's sort on one
+    task). The rank hash's high bits range-bucket each domain into
+    ``2^(60-bucket_shift)`` slices (bucket-major order == hash order, so
+    per-slice ranks concatenate exactly):
+      1. per-(key, bucket) counts — a tiny aggregate, partial map-side;
+      2. running-count offsets via a window over the COUNTS table (≤64
+         rows per key, bounded, never data-skewed) — all distributed, no
+         driver collect (contrast hash_balanced_sample's driver bucket
+         map, fine there because buckets are global);
+      3. buckets whose offset already reaches ``cap`` are dropped BEFORE
+         the data-side window — with a web-scale domain and a small cap,
+         ~all of its rows never enter a sort;
+      4. row_number within (key, bucket) + offset = exact global-in-key
+         rank; keep rank ≤ cap.
+    Rows with a NULL key or id cannot be hash-ranked and are excluded
+    (documented contract, as in hash_balanced_sample).
+    """
+    if not 0 <= bucket_shift < 60:
+        raise ValueError("bucket_shift must be in [0, 60)")
+    base = df.where(F.col(key).isNotNull() & F.col(id_col).isNotNull())
+    bucketed = base.withColumn("_h", _md5_rank_hash(id_col, seed)).withColumn(
+        "_bk", F.shiftright(F.col("_h"), bucket_shift)
+    )
+    from pyspark.sql.window import Window
+
+    counts = bucketed.groupBy(key, "_bk").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        key, "_bk", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    ).where(F.col("_off") < cap)
+    w_local = Window.partitionBy(key, "_bk").orderBy("_h", id_col)
+    return (
+        bucketed.join(offsets, [key, "_bk"])
+        .withColumn("cap_rank", F.row_number().over(w_local) + F.col("_off"))
+        .where(F.col("cap_rank") <= cap)
+        .drop("_h", "_bk", "_off")
+    )
