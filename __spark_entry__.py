@@ -448,6 +448,48 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def _lined_docs(spark, sf_dir):
+    """Derived multi-line fixture for C4-style line filtering (the synthetic
+    documents are single-line word streams): 6-word lines, a deterministic
+    2-of-3 of which end in '.', plus injected 'lorem ipsum' and '{' pages —
+    every construct exact in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.ceil(F.size(words) / F.lit(6)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(words, i * 6 + 1, 6)),
+            F.when((i + F.col("doc_id")) % 3 < 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    text2 = F.concat(
+        F.concat_ws("\n", ls),
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.lit("\nthis page contains lorem ipsum filler text today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 37 == 0, F.lit("\nfunction f() { return 1; }")
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line + page filter (Raffel et al. 2020 §2.2) over the lined
+    fixture: terminal-punctuation + min-words line gate, min-lines /
+    lorem-ipsum / curly-brace page gate, text rebuilt from kept lines —
+    map-only, no shuffle (operators/textstats.py:c4_line_filter)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.textstats import (
+        c4_line_filter,
+    )
+
+    return c4_line_filter(
+        _lined_docs(spark, sf_dir), min_words=4, min_lines=6
+    )
+
+
 def q_domain_cap(spark, sf_dir):
     """C4/RefinedWeb-style per-domain cap: first 7 docs per source in
     seeded md5-hash order — exact rank with no window over the raw domain
@@ -994,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_cap": q_domain_cap,
+        "c4_line_filter": q_c4_line_filter,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1762,6 +1805,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS canonical_id,
                    CAST(min(lbl) = id AS INT) AS is_canonical
             FROM reach GROUP BY id
+        """,
+        "c4_line_filter": """
+            WITH lined AS (
+                SELECT doc_id,
+                       array_to_string(
+                         list_transform(
+                           range(0, CAST(ceil(len(ws) / 6.0) AS BIGINT)),
+                           i -> array_to_string(
+                                  list_slice(ws, i * 6 + 1, i * 6 + 6), ' ')
+                                || CASE WHEN (i + doc_id) % 3 < 2
+                                        THEN '.' ELSE '' END),
+                         chr(10))
+                       || CASE WHEN doc_id % 31 = 0 THEN chr(10) ||
+                            'this page contains lorem ipsum filler text today.'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 37 = 0 THEN chr(10) ||
+                            'function f() { return 1; }'
+                          ELSE '' END AS text
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+            ),
+            gated AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, x ->
+                           right(trim(x), 1) IN
+                               ('.', '!', '?', '"', '。', '！', '？', '」')
+                           AND len(string_split(trim(x), ' ')) >= 4) AS kept,
+                       (contains(lower(text), 'lorem ipsum')
+                        OR contains(text, '{')) AS bad
+                FROM (SELECT doc_id, text,
+                             string_split(text, chr(10)) AS ls FROM lined)
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text,
+                   len(kept) AS n_lines_kept,
+                   len(ls) AS n_lines_orig
+            FROM gated WHERE len(kept) >= 6 AND NOT bad
         """,
         # The oracle ranks with ONE window over the domain; Spark computes
         # the same rank two-phase (bucket counts + offsets + sliced window).

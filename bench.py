@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_banded_near_dups",
     "ivf_topk",
     "gopher_quality",
+    "c4_line_filter",
     "balanced_sample",
     "domain_cap",
 ]
