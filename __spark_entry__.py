@@ -504,6 +504,110 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020) — the exact
+    per-language quality-tercile split whose *head* bucket IS the
+    reference's test corpus (BASELINE.md "CCNet sample buckets";
+    文件/...20240123.pptx slide 11).  Exact ntile mode here (the
+    threshold-sampling scale path is tested in test_curation.py);
+    operators/curation.py:ccnet_buckets."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        ccnet_buckets,
+    )
+
+    q = T.quality_features(_docs_fanned(spark, sf_dir))
+    return ccnet_buckets(q).select(
+        "doc_id", "lang", "q_score", "bucket_idx", "bucket"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct word 3-gram overlap of every
+    training doc (doc_id % 41 != 0) against the held-out eval slice
+    (doc_id % 41 == 0); contaminated at >= 2 shared grams.  The eval
+    n-gram vocabulary is benchmark-bounded, so it broadcasts and the
+    train side never shuffles (operators/curation.py:decontaminate)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        decontaminate,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 41 != 0).select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 41 == 0)
+    return decontaminate(train, ev, n=3, min_hits=2).select(
+        "doc_id", "n_overlap", "contaminated"
+    )
+
+
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic PII appended (email when doc_id%3==0,
+    phone when %4==0, IPv4 when %5==0) — identical concat in the oracle."""
+    d = _docs_fanned(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" contact user"), s(i), F.lit("@mail"), s(i % 7), F.lit(".example.com")
+    )
+    phone = F.concat(
+        F.lit(" call 02-"),
+        F.lpad(s((i * 37) % 10000), 4, "0"),
+        F.lit("-"),
+        F.lpad(s((i * 91) % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."), s(i % 256), F.lit("."), s((i * 3) % 256), F.lit("."), s((i * 7) % 256)
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, email).otherwise(F.lit("")),
+        F.when(i % 4 == 0, phone).otherwise(F.lit("")),
+        F.when(i % 5 == 0, ip).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """RefinedWeb-style PII scrub over the PII fixture: regexp_count on the
+    original text + chained regexp_replace — one map-only codegen
+    projection, counts independent of redaction order
+    (operators/curation.py:pii_redact)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        pii_redact,
+    )
+
+    return pii_redact(_pii_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: global token prefix sum
+    in doc_id order via the two-phase shard scheme (no global sort), cut
+    into 256-token sequences (operators/training.py:pack_sequences).  The
+    oracle computes the same prefix sum with ONE unbounded window — same
+    values, scale-hostile path, which is the point of the two-phase side."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.training import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _docs_fanned(spark, sf_dir), budget=256, shard_size=64
+    ).select("doc_id", "n_tokens", "start_offset", "seq_id", "pos_in_seq")
+
+
+def q_language_mix(spark, sf_dir):
+    """Temperature-based language rebalancing (XLM-R data-mix rule,
+    p_l ∝ n_l^0.5): per-language quotas from the count table, selection via
+    the skew-proof bucketed hash rank — in-plan end to end
+    (operators/curation.py:language_mix_sample)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        language_mix_sample,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    return language_mix_sample(d, target_total=200, alpha=0.5).select(
+        "doc_id", "lang", "mix_rank"
+    )
+
+
 def q_coref_mentions(spark, sf_dir):
     """Intra-doc coreference kernel (operators/coref.py): synthetic mention
     arrays derived arithmetically from c_custkey (md5-indexed surname/given/
@@ -1037,6 +1141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_cap": q_domain_cap,
         "c4_line_filter": q_c4_line_filter,
+        "ccnet_buckets": q_ccnet_buckets,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "language_mix": q_language_mix,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1805,6 +1914,146 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lbl) AS canonical_id,
                    CAST(min(lbl) = id AS INT) AS is_canonical
             FROM reach GROUP BY id
+        """,
+        # q_score arithmetic is the quality_by_lang oracle's, per-row; the
+        # ntile tie-break (score DESC, doc_id) makes the tercile split total.
+        "ccnet_buckets": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                       length(regexp_replace(text, '[^.,;:!?，。；！？]', '', 'g')) AS n_punct
+                FROM documents
+            ), f AS (
+                SELECT doc_id, lang,
+                       CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok,
+                       CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                       n_tokens
+                FROM q
+            ), sc AS (
+                SELECT doc_id, lang,
+                       round(least(n_tokens / 100.0, 1.0) * 0.5
+                             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                             + CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0
+                                    THEN 0.2 ELSE 0.0 END, 4) AS q_score
+                FROM f
+            )
+            SELECT doc_id, lang, q_score,
+                   CAST(ntile(3) OVER w AS INT) AS bucket_idx,
+                   CASE ntile(3) OVER w WHEN 1 THEN 'head'
+                        WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+            FROM sc
+            WINDOW w AS (PARTITION BY lang ORDER BY q_score DESC, doc_id)
+        """,
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(ws) - 2),
+                               i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gram
+                    FROM w WHERE doc_id % 41 <> 0)
+            ),
+            eg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(list_transform(range(0, len(ws) - 2),
+                               i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gram
+                    FROM w WHERE doc_id % 41 = 0)
+            ),
+            h AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM tg JOIN eg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   CAST(COALESCE(h.n_overlap, 0) >= 2 AS INT) AS contaminated
+            FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 41 <> 0
+        """,
+        "pii_redact": """
+            WITH pii AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                            || CAST(doc_id AS VARCHAR) || '@mail'
+                            || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN ' call 02-'
+                            || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                            || '-'
+                            || lpad(CAST((doc_id * 91) % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.'
+                            || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+                            || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{2}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{2}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+            FROM pii
+        """,
+        # quota arithmetic (pow/ceil doubles) and the md5 rank hash are
+        # replayed exactly; the oracle ranks with ONE window per language
+        # while Spark rides the bucketed two-phase rank.
+        "language_mix": """
+            WITH c AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ),
+            q AS (
+                SELECT lang,
+                       least(n, CAST(ceil(200 * pow(n, 0.5)
+                           / (SELECT SUM(pow(n, 0.5)) FROM c)) AS BIGINT)) AS cap
+                FROM c
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)
+                               AS BIGINT),
+                               doc_id
+                       ) AS mix_rank
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang, r.mix_rank
+            FROM r JOIN q USING (lang) WHERE mix_rank <= cap
+        """,
+        # ONE unbounded window here vs Spark's two-phase shard scheme —
+        # identical values, deliberately different (scale-hostile) path.
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS seq_id,
+                   start_offset % 256 AS pos_in_seq
+            FROM s
         """,
         "c4_line_filter": """
             WITH lined AS (

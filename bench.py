@@ -59,6 +59,11 @@ HEADLINE = [
     "c4_line_filter",
     "balanced_sample",
     "domain_cap",
+    "ccnet_buckets",
+    "decontaminate",
+    "pii_redact",
+    "pack_sequences",
+    "language_mix",
 ]
 
 

@@ -228,6 +228,11 @@ def per_key_cap(
          rank; keep rank ≤ cap.
     Rows with a NULL key or id cannot be hash-ranked and are excluded
     (documented contract, as in hash_balanced_sample).
+
+    ``cap`` may also be a DataFrame of per-key quotas ``(key, cap)`` — the
+    same skew-proof rank, but each key keeps its own first-``cap_k`` slice
+    (used by ``language_mix_sample``'s temperature quotas). The quota table
+    is keyspace-bounded (tiny), so its joins AQE-broadcast at runtime.
     """
     if not 0 <= bucket_shift < 60:
         raise ValueError("bucket_shift must be in [0, 60)")
@@ -237,6 +242,10 @@ def per_key_cap(
     )
     from pyspark.sql.window import Window
 
+    if isinstance(cap, DataFrame):
+        caps = cap.select(key, F.col("cap").cast("long").alias("_cap"))
+    else:
+        caps = None
     counts = bucketed.groupBy(key, "_bk").agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy(key)
@@ -245,11 +254,79 @@ def per_key_cap(
     )
     offsets = counts.select(
         key, "_bk", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    ).where(F.col("_off") < cap)
+    )
+    if caps is None:
+        offsets = offsets.where(F.col("_off") < cap)
+    else:
+        offsets = offsets.join(caps, key).where(F.col("_off") < F.col("_cap"))
     w_local = Window.partitionBy(key, "_bk").orderBy("_h", id_col)
-    return (
+    ranked = (
         bucketed.join(offsets, [key, "_bk"])
         .withColumn("cap_rank", F.row_number().over(w_local) + F.col("_off"))
-        .where(F.col("cap_rank") <= cap)
-        .drop("_h", "_bk", "_off")
+    )
+    keep = F.col("cap_rank") <= (cap if caps is None else F.col("_cap"))
+    return ranked.where(keep).drop("_h", "_bk", "_off", *(["_cap"] if caps is not None else []))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    budget: int = 256,
+    shard_size: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus's token stream out
+    in deterministic ``id`` order and cut it into fixed-``budget`` training
+    sequences (the GPT-style packing that turns variable-length documents
+    into dense model inputs; docs may span a sequence boundary — that is
+    the semantics, not a bug).  Emits per doc: ``n_tokens``,
+    ``start_offset`` (global exclusive prefix sum), ``seq_id``
+    (``start_offset DIV budget``) and ``pos_in_seq``.
+
+    Scale shape — the prefix sum is computed WITHOUT a global sort/window
+    (a single unbounded window over 10^12 rows would serialize on one
+    task).  ``id DIV shard_size`` range-buckets the stream order-preserving:
+
+      1. per-shard token sums — a tiny aggregate (``n_docs/shard_size``
+         rows), partial map-side;
+      2. shard offsets via one running-sum window over the COUNTS table
+         (bounded rows, never data-skewed — same discipline as
+         ``per_key_cap``); no driver collect;
+      3. the data-side window ranks only WITHIN a shard (≤ ``shard_size``
+         rows per partition, bounded), joined to its shard offset (AQE
+         broadcasts the tiny offsets side at runtime).
+
+    ``id_col`` must be numeric and non-null (documented contract; rows with
+    NULL id are excluded like ``per_key_cap``).  If ``tokens_col`` is None
+    the BPE-ish regex count of ``text_col`` is used."""
+    from pyspark.sql.window import Window
+
+    from .textstats import bpe_token_count
+
+    n_tok = (
+        F.col(tokens_col) if tokens_col else bpe_token_count(F.col(text_col))
+    ).cast("long")
+    base = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("_shard", F.expr(f"{id_col} DIV {shard_size}"))
+    )
+    sums = base.groupBy("_shard").agg(F.sum("n_tokens").alias("_sn"))
+    w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_shard", F.coalesce(F.sum("_sn").over(w_sh), F.lit(0).cast("long")).alias("_off")
+    )
+    w_loc = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0).cast("long")) + F.col("_off")
+    return (
+        base.join(offsets, "_shard")
+        .withColumn("start_offset", start)
+        .withColumn("seq_id", F.expr(f"start_offset DIV {budget}"))
+        .withColumn("pos_in_seq", F.col("start_offset") % budget)
+        .drop("_shard", "_off")
     )
