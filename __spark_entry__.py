@@ -989,6 +989,21 @@ def q_kg_khop(spark, sf_dir):
     return kh.select("id", "dist")
 
 
+def q_kg_communities(spark, sf_dir):
+    """Label-propagation VALUE gate: 4 synchronous deterministic LPA rounds
+    (operators/graph.py:label_propagation — adopt the max-incident-weight
+    neighbor label, ties to the smallest label) on the undirected weighted
+    customer digraph, vs a DuckDB oracle of 4 unrolled MATERIALIZED CTE
+    levels replaying the identical count-argmax recurrence (the oracle's
+    per-level row_number argmax vs Spark's min(struct) aggregate — same
+    selection, different mechanism)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_customer_digraph(spark, sf_dir), iters=4, weight="w")
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle-count VALUE gate: degree-ordered-orientation wedge join
     (operators/graph.py:triangle_count) on the undirected customer digraph vs
@@ -1153,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_pipeline": q_kg_edges_pipeline,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_values": q_kg_pagerank_values,
+        "kg_communities": q_kg_communities,
         "kg_khop": q_kg_khop,
         "kg_triangles": q_kg_triangles,
         "kg_ner_re_replay": q_kg_ner_re_replay,
@@ -1216,6 +1232,46 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
              FROM v LEFT JOIN c{i} ON v.id = c{i}.id)"""
         )
     parts.append(f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled fixed-iteration label-propagation oracle for
+    ``kg_communities`` (same MATERIALIZED-per-level discipline as
+    ``_pagerank_sql``). Replays graph.py:label_propagation exactly: per
+    round each vertex adopts the neighbor label with the highest incident
+    weight sum (integer-valued doubles — exact, order-independent), ties
+    to the smallest label; the argmax here is a per-vertex row_number
+    where Spark uses a min(struct(-s, label)) aggregate."""
+    parts = [
+        f"""
+    WITH e AS ({_DIGRAPH_SQL}
+    ), adj AS MATERIALIZED (
+        SELECT a, b, SUM(w) AS w FROM (
+            SELECT src AS a, dst AS b, w FROM e
+            UNION ALL
+            SELECT dst AS a, src AS b, w FROM e
+        ) WHERE a <> b GROUP BY a, b
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM adj)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f""",
+    c{i} AS (SELECT adj.a AS id, l.label, SUM(adj.w) AS s
+             FROM adj JOIN {p} l ON adj.b = l.id
+             GROUP BY adj.a, l.label),
+    b{i} AS (SELECT id, label AS new_label FROM (
+                 SELECT id, label,
+                        row_number() OVER (PARTITION BY id
+                                           ORDER BY s DESC, label) AS rn
+                 FROM c{i}) WHERE rn = 1),
+    l{i} AS MATERIALIZED (
+        SELECT l.id, COALESCE(b.new_label, l.label) AS label
+        FROM {p} l LEFT JOIN b{i} b ON l.id = b.id)"""
+        )
+    parts.append(f"\n    SELECT id, label FROM l{iters}")
     return "".join(parts)
 
 # Shared CTE prefix for the kg_nodes / kg_edges value oracles: rebuilds the
@@ -2244,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
+        "kg_communities": _lpa_sql(iters=4),
         "kg_khop": f"""
             WITH RECURSIVE e AS ({_DIGRAPH_SQL}
             ), bfs AS (

@@ -255,3 +255,63 @@ def pagerank(
         else:
             ranks = new
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected graph induced by ``edges`` → ``(id, label)`` community
+    assignments.  KG analytics: family/organization clusters in the person
+    graph that connected components can't separate (CC merges everything
+    reachable; LPA splits dense cores joined by thin bridges).
+
+    Deterministic variant (so runs, resumes, and the DuckDB oracle agree):
+    every vertex starts as its own label; each round every vertex adopts
+    the neighbor label with the highest incident weight sum, ties broken
+    toward the SMALLEST label; isolated-from-update vertices keep their
+    previous label; exactly ``iters`` synchronous rounds (no
+    early-convergence poll — fixed work, replayable).
+
+    Scale shape: per round ONE shuffle pair — neighbor-label counts
+    (``groupBy(id, label)``, partial map-side) then the per-vertex argmax
+    as a ``min(struct(-w, label))`` aggregate (no window over the raw
+    vertex key, so a hub vertex never serializes a sort); the label table
+    is vertex-bounded; ``localCheckpoint`` truncates lineage per round.
+    Tie weights must be exactly representable (integer-valued weights) for
+    cross-engine determinism — documented contract.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    ue = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    adj = (
+        ue.unionAll(ue.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        adj.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        best = (
+            adj.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.sum("w").alias("s"))
+            .groupBy("id")
+            .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("label").alias("l"))).alias("m"))
+            .select("id", F.col("m.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -59,3 +59,45 @@ def test_triangle_count_direction_and_dup_invariant(spark):
 def test_triangle_count_triangle_free(spark):
     e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
     assert triangle_count(e).collect()[0]["n_triangles"] == 0
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two 4-cliques {0..3} and {10..13} joined by one thin bridge 3–10:
+    # connected components would merge everything; LPA keeps two communities.
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]  # noqa: E731
+    e = _edges(spark, clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)])
+    got = {r["id"]: r["label"] for r in label_propagation(e, iters=6).collect()}
+    left = {got[i] for i in (0, 1, 2)}
+    right = {got[i] for i in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # vertex 2 sees labels {0, 1} with equal weight → adopts the smaller (0);
+    # one round, synchronous: 0 and 1 swap-adopt each other's via 2? no —
+    # 0's only neighbor is 2 (label 2), 1's only neighbor is 2 (label 2).
+    e = _edges(spark, [(0, 2), (1, 2)])
+    got = {r["id"]: r["label"] for r in label_propagation(e, iters=1).collect()}
+    assert got == {0: 2, 1: 2, 2: 0}
+
+
+def test_label_propagation_weight_beats_count(spark):
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # vertex 0: two unit-weight neighbors with label 1,2 vs one weight-5
+    # neighbor with label 9 → weighted LPA adopts 9.
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 9, 5.0)], "src long, dst long, w double"
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(e, iters=1, weight="w").collect()}
+    assert got[0] == 9
