@@ -593,6 +593,38 @@ def q_pack_sequences(spark, sf_dir):
     ).select("doc_id", "n_tokens", "start_offset", "seq_id", "pos_in_seq")
 
 
+def _slogan_docs(spark, sf_dir):
+    """documents with deterministic shared slogans appended (doc_id%6==0
+    and %15==0) so exact >=30-char cross-doc substrings exist — identical
+    concat in the oracle."""
+    d = _docs_fanned(spark, sf_dir)
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            i % 6 == 0,
+            F.lit(" the quick brown fox jumps over the lazy dog again and again"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 15 == 0,
+            F.lit(" pack my box with five dozen liquor jugs for the summer trip"),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+def q_substring_dups(spark, sf_dir):
+    """Exact-substring dedup audit (Lee et al. 2022 ExactSubstr, shingle-grid
+    variant) over the slogan fixture: 30-char shingles, content-defined
+    anchors (md5 hash % 2 == 0), min-owner aggregate — no pair join
+    (operators/dedup.py:substring_dup_docs)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        substring_dup_docs,
+    )
+
+    return substring_dup_docs(_slogan_docs(spark, sf_dir), k=30, anchor_mod=2)
+
+
 def q_language_mix(spark, sf_dir):
     """Temperature-based language rebalancing (XLM-R data-mix rule,
     p_l ∝ n_l^0.5): per-language quotas from the count table, selection via
@@ -1161,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "language_mix": q_language_mix,
+        "substring_dups": q_substring_dups,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -2089,6 +2122,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.doc_id, r.lang, r.mix_rank
             FROM r JOIN q USING (lang) WHERE mix_rank <= cap
+        """,
+        # Independent path: the oracle joins every anchored shingle against
+        # the min-owner table directly; Spark aggregates first. Same values.
+        "substring_dups": """
+            WITH fanned AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 6 = 0 THEN
+                            ' the quick brown fox jumps over the lazy dog again and again'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 15 = 0 THEN
+                            ' pack my box with five dozen liquor jugs for the summer trip'
+                          ELSE '' END AS text
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, CAST(length(text) - 28 AS BIGINT)),
+                           i -> substr(text, CAST(i AS BIGINT), 30)))) AS sub
+                FROM fanned WHERE length(text) >= 30
+            ),
+            anch AS (
+                SELECT doc_id, sub FROM sh
+                WHERE (CAST('0x' || substr(md5(sub), 1, 15) AS BIGINT)
+                       % 1000000007) % 2 = 0
+            ),
+            owners AS (
+                SELECT sub, min(doc_id) AS _owner FROM anch GROUP BY sub
+            ),
+            dup AS (
+                SELECT anch.doc_id,
+                       count(*) AS n_dup_anchors,
+                       min(_owner) AS dup_owner,
+                       min(anch.sub) AS dup_example
+                FROM anch JOIN owners ON anch.sub = owners.sub
+                WHERE anch.doc_id > owners._owner
+                GROUP BY anch.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(dup.n_dup_anchors, 0) AS n_dup_anchors,
+                   dup.dup_owner,
+                   dup.dup_example,
+                   CASE WHEN dup.dup_owner IS NOT NULL THEN 1 ELSE 0 END
+                       AS has_dup_substring
+            FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
         """,
         # ONE unbounded window here vs Spark's two-phase shard scheme —
         # identical values, deliberately different (scale-hostile) path.

@@ -64,6 +64,7 @@ HEADLINE = [
     "pii_redact",
     "pack_sequences",
     "language_mix",
+    "substring_dups",
 ]
 
 

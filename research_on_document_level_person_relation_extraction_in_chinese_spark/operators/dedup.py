@@ -656,3 +656,73 @@ def paragraph_dedup(
             (F.col("n_orig") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def substring_dup_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    anchor_mod: int = 1,
+) -> DataFrame:
+    """Exact-substring duplication audit (the shingle-grid variant of Lee et
+    al. 2022's suffix-array ExactSubstr dedup): flag every doc that shares
+    an exact ``k``-char substring with an EARLIER doc (smaller id), with the
+    shared snippet surfaced for inspection.  Output per input doc:
+    ``n_dup_anchors`` (distinct shared anchor substrings), ``dup_owner``
+    (smallest earlier doc id sharing one), ``dup_example`` (lexicographically
+    first shared substring), ``has_dup_substring`` (0/1).
+
+    Scale shape — NO pair join anywhere: every doc's k-shingles map to a
+    ``min(id)`` OWNER per substring (one partial-aggregated groupBy); a doc
+    is a duplicate iff one of its shingles has an owner smaller than itself.
+    A viral substring shared by 10^6 docs costs one hot-key AGGREGATE (AQE
+    skew-splittable, associative) instead of the 10^12-row pair explosion a
+    join-based design would produce.  ``anchor_mod`` is the 100-TB lever:
+    keep only content-defined anchor shingles (md5 hash ≡ 0 mod m) — BOTH
+    occurrences of a shared region keep the same anchors, so a shared
+    substring of length ≥ k is still caught whenever it contains ≥1 anchor
+    (probability ≈ 1-(1-1/m)^(L-k+1); m=1 is exact for ≥k).  The k-char
+    explode is a ~k× row blowup bounded per task — the same cost profile as
+    the MinHash shingle stage above, and why ExactSubstr needs no second
+    pass here."""
+    text = F.col(text_col)
+    grid = F.transform(
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+    if anchor_mod > 1:
+        # anchor filter INSIDE the array (whole-stage-codegen HOF) so only
+        # anchored shingles ever materialize as rows — the explode output and
+        # every downstream shuffle shrink by ~1/anchor_mod
+        grid = F.filter(grid, lambda s: shingle_hash(s) % anchor_mod == 0)
+    shingles = F.when(F.length(text) >= k, F.array_distinct(grid)).otherwise(
+        F.array().cast("array<string>")
+    )
+    sh = docs.select(F.col(id_col), F.explode(shingles).alias("sub"))
+    # ONE pass over the k× shingle grid: min-owner via a window over the
+    # substring key (a groupBy+self-join would recompute the grid — Catalyst
+    # reuses exchanges, not scans, and the partial aggregate breaks subtree
+    # equality).  Group size = duplication multiplicity of one substring
+    # (spill-safe WindowExec buffering; anchor_mod thins viral substrings
+    # proportionally), vs TWO full-grid shuffles + a recompute for the join
+    # shape.
+    from pyspark.sql.window import Window
+
+    owner_w = Window.partitionBy("sub")
+    dup = (
+        sh.withColumn("_owner", F.min(id_col).over(owner_w))
+        .where(F.col(id_col) > F.col("_owner"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_dup_anchors"),
+            F.min("_owner").alias("dup_owner"),
+            F.min("sub").alias("dup_example"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(dup, id_col, "left")
+        .withColumn("n_dup_anchors", F.coalesce("n_dup_anchors", F.lit(0).cast("long")))
+        .withColumn("has_dup_substring", F.col("dup_owner").isNotNull().cast("int"))
+    )
