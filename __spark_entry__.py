@@ -747,6 +747,19 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """In-engine IVF centroid TRAINING (operators/simsearch.py:kmeans_fit):
+    4 fixed Lloyd spherical-k-means iterations, k=8, over the embeddings
+    table — init = vectors with id<k (the ivf_centroids seed rule), argmax-
+    cosine assignment (lowest cid wins ties), per-dimension means rounded to
+    9 dp each iteration (both engines), empty clusters keep their previous
+    centroid. Long-format output (cid, dim_idx, c_val, n_points); the oracle
+    replays the identical recurrence with 4 unrolled MATERIALIZED CTE levels
+    (_kmeans_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_centroid_table(emb, k=8, iters=4)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4-style repetition quality filter: per-doc dup-word fraction,
     top-bigram fraction and mean word length as per-row JVM HOF folds (no
@@ -1183,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_banded_near_dups": q_ann_banded_near_dups,
         "ivf_topk": q_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1265,6 +1279,71 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
              FROM v LEFT JOIN c{i} ON v.id = c{i}.id)"""
         )
     parts.append(f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """Unrolled fixed-iteration Lloyd k-means oracle for ``kmeans_centroids``
+    (same MATERIALIZED-per-level discipline as ``_pagerank_sql``). Replays
+    simsearch.py:kmeans_fit exactly: per level an argmax-cosine assignment
+    (row_number over cosine DESC, cid — Spark's array_position-of-max picks
+    the same lowest-cid tie winner), a per-dimension mean rounded to 9 dp
+    (the shared quantization step that absorbs cross-engine summation-order
+    noise), and an empty-cluster fallback to the previous centroid; the
+    final level adds the assignment census. Zipped ``unnest(range)`` /
+    ``unnest(ev)`` turn the vectors long for the mean and the output."""
+    cos = (
+        "list_dot_product(p.ev, c.cv) / (sqrt(list_dot_product(p.ev, p.ev))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    parts = [
+        f"""
+    WITH pts AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+        SELECT CAST(vec_id AS INT) AS cid, ev AS cv FROM pts WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS rn
+            FROM pts p CROSS JOIN {prev} c) WHERE rn = 1),
+    u{i} AS (
+        SELECT cid, list(m ORDER BY i) AS cv FROM (
+            SELECT cid, i, round(avg(v), 9) AS m FROM (
+                SELECT a.cid, unnest(range(1, {dim + 1})) AS i,
+                       unnest(p.ev) AS v
+                FROM a{i} a JOIN pts p USING (vec_id)
+            ) GROUP BY cid, i
+        ) GROUP BY cid),
+    c{i} AS MATERIALIZED (
+        SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+        FROM {prev} c LEFT JOIN u{i} u USING (cid))"""
+        )
+    parts.append(
+        f""",
+    af AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS rn
+            FROM pts p CROSS JOIN c{iters} c) WHERE rn = 1),
+    census AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_points
+               FROM af GROUP BY cid)
+    SELECT u.cid, CAST(u.i AS INT) AS dim_idx, u.v AS c_val,
+           COALESCE(n.n_points, 0) AS n_points
+    FROM (SELECT cid, unnest(range(1, {dim + 1})) AS i, unnest(cv) AS v
+          FROM c{iters}) u
+    LEFT JOIN census n USING (cid)"""
+    )
     return "".join(parts)
 
 
@@ -2379,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
+        "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "kg_communities": _lpa_sql(iters=4),
         "kg_khop": f"""
             WITH RECURSIVE e AS ({_DIGRAPH_SQL}

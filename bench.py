@@ -55,6 +55,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_banded_near_dups",
     "ivf_topk",
+    "kmeans_centroids",
     "gopher_quality",
     "c4_line_filter",
     "balanced_sample",

@@ -31,7 +31,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _query_literal(query_vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    # one SQL-text literal (single py4j call, JVM parse) — building dim
+    # individual F.lit Columns costs ~dim×2 py4j round-trips of pure driver
+    # overhead per query construction; repr() round-trips doubles exactly
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in query_vec) + ")")
 
 
 def cosine_topk(
@@ -101,7 +104,7 @@ def random_hyperplanes(n_planes: int, dim: int, seed: str = "ann") -> list[list[
 
 
 def _plane_dot(vec: Column, plane: list[float]) -> Column:
-    lits = F.array(*[F.lit(float(c)) for c in plane])
+    lits = _query_literal(plane)
     return F.aggregate(
         F.zip_with(vec, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -296,17 +299,29 @@ def ivf_assign(
 ) -> DataFrame:
     """Adds a ``cluster`` column = argmax-cosine centroid id (first wins ties).
 
-    The argmax runs as a JVM ``aggregate`` fold over a literal
-    (cid, centroid) struct array — per-row, partition-local, shuffle-free;
-    at 100 TB the output is written partitioned/bucketed BY ``cluster`` so
-    probes prune files (same contract as ``sign_bucket``). Folding in cid
-    order with a strict ``>`` keeps the lowest cid on exact ties, matching
-    the SQL oracle's ``row_number ORDER BY c DESC, cid``."""
-    cent = F.array(
-        *[
-            F.struct(F.lit(int(cid)).alias("cid"), _query_literal(cv).alias("cv"))
-            for cid, cv in centroids
-        ]
+    The argmax runs as a JVM HOF over a single nested-array centroid literal
+    (centroid ``cid`` ≡ array position − 1; dense 0..k−1 ids enforced) —
+    per-row, partition-local, shuffle-free; at 100 TB the output is written
+    partitioned/bucketed BY ``cluster`` so probes prune files (same contract
+    as ``sign_bucket``). Evaluating positions in cid order keeps the lowest
+    cid on exact ties, matching the SQL oracle's
+    ``row_number ORDER BY c DESC, cid``."""
+    cids = [int(cid) for cid, _ in centroids]
+    if cids != list(range(len(centroids))):
+        raise ValueError(f"ivf_assign expects dense centroid ids 0..k-1, got {cids}")
+    # ONE nested-array literal built as SQL text (a single py4j call; the
+    # JVM parses it and ConstantFolding collapses it to one Literal) — the
+    # previous array-of-struct construction built k×dim individual Literal
+    # Columns, and the py4j round-trips to assemble that tree cost ~2 s per
+    # kmeans iteration at ANY data size (driver-side, scale-invariant
+    # overhead). repr() emits the shortest round-trip decimal, so the parsed
+    # double is bit-identical to the driver value.
+    cent = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")" for _, cv in centroids
+        )
+        + ")"
     )
     e = _to_double(F.col(vec_col))
     # each cosine evaluated exactly ONCE (a fold comparing inside
@@ -314,9 +329,99 @@ def ivf_assign(
     # products and a much larger codegen body); array_position returns the
     # FIRST index holding the max, i.e. the lowest cid on exact ties —
     # the same tie rule as the SQL oracle's row_number ORDER BY c DESC, cid
-    cos_arr = F.transform(cent, lambda c: cosine(e, c["cv"]))
+    cos_arr = F.transform(cent, lambda cv: cosine(e, cv))
     pos = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
-    return emb.withColumn("cluster", F.element_at(cent, pos)["cid"])
+    return emb.withColumn("cluster", pos - F.lit(1))
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+    decimals: int = 9,
+) -> list[tuple[int, list[float], int]]:
+    """Fixed-iteration Lloyd (spherical) k-means — the in-engine fit for the
+    IVF centroid table (``ivf_centroids`` documents its seed rule as a
+    stand-in for exactly this job).  Returns ``[(cid, centroid, n_points)]``
+    with ``n_points`` the census under the FITTED centroids.
+
+    Deterministic and oracle-replayable: init = the vectors with
+    ``id < k`` (the ``ivf_centroids`` seed rule); each iteration assigns by
+    argmax cosine (``ivf_assign`` — lowest cid wins exact ties) and updates
+    each centroid to the per-dimension mean of its members, ROUNDED to
+    ``decimals`` dp (quantizes away cross-engine summation-order noise,
+    ~1e-16, without perturbing the trajectory); empty clusters keep their
+    previous centroid.
+
+    Scale shape — the canonical distributed-k-means contract (same as
+    MLlib's): per iteration ONE partial-aggregated groupBy over the points
+    (map-side combine reduces each partition to ≤k×(dim+1) doubles before
+    the shuffle — the shuffle moves O(partitions × k × dim), never O(N));
+    driver state is the k×dim centroid table (bounded, like the taxonomy
+    map); assignment is the same shuffle-free literal-fold as ``ivf_assign``
+    so the points table is scanned iters+1 times and never re-keyed."""
+    dim = vector_dim(emb, vec_col, expected=dim)
+    pts = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("e"))
+    pts.persist()
+    try:
+        cents = ivf_centroids(pts, k, id_col, "e")
+        # the per-dimension means as ONE array-of-aggregates expression (a
+        # single py4j call per iteration — dim individual Column objects cost
+        # ~1.7 s of driver-side py4j chatter per iteration at any data size)
+        ds_expr = F.expr(
+            "array("
+            + ",".join(f"round(avg(element_at(e, {i + 1})), {decimals})" for i in range(dim))
+            + ") AS ds"
+        )
+        for _ in range(iters):
+            agg = (
+                ivf_assign(pts, cents, id_col, "e")
+                .groupBy("cluster")
+                .agg(F.count("*").alias("n"), ds_expr)
+                .collect()
+            )
+            upd = {int(r["cluster"]): [float(x) for x in r["ds"]] for r in agg}
+            cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
+        census = {
+            int(r["cluster"]): int(r["n"])
+            for r in ivf_assign(pts, cents, id_col, "e")
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        pts.unpersist()
+    return [(cid, cv, census.get(cid, 0)) for cid, cv in cents]
+
+
+def kmeans_centroid_table(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+) -> DataFrame:
+    """``kmeans_fit`` exposed as a long-format DataFrame
+    (cid, dim_idx, c_val, n_points) — k×dim rows, bounded by construction
+    (the model IS driver-sized; the distributed work already happened in
+    the fit's iters+1 scans)."""
+    fitted = kmeans_fit(emb, k, iters, id_col, vec_col, dim)
+    # values are already 9dp-quantized identically on both engines at every
+    # iteration (kmeans_fit ``decimals``) — no re-rounding here (Python's
+    # round() is HALF_EVEN, Spark/DuckDB are HALF_UP: a re-round would
+    # introduce the only cross-engine divergence in the whole recurrence)
+    rows = [
+        (int(cid), int(i + 1), float(v), int(n))
+        for cid, cv, n in fitted
+        for i, v in enumerate(cv)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "cid int, dim_idx int, c_val double, n_points bigint"
+    )
 
 
 def ivf_topk(
