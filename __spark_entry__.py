@@ -747,6 +747,21 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (operators/dsir.py): hashed
+    unigram+bigram log-likelihood-ratio scores of every document against the
+    lang='en' target distribution (add-1 smoothing, 512 buckets), kept iff
+    the 6-dp score > 0. Distributions are one bounded groupBy; the weight
+    table ships back as one literal array so scoring is a shuffle-free
+    projection."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dsir import (
+        dsir_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_scores(d, F.col("lang") == "en", n_buckets=512)
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """In-engine IVF centroid TRAINING (operators/simsearch.py:kmeans_fit):
     4 fixed Lloyd spherical-k-means iterations, k=8, over the embeddings
@@ -1197,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_banded_near_dups": q_ann_banded_near_dups,
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1997,6 +2013,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster, round(c, 6) AS cosine
             FROM scored ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "dsir_select": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       list_transform(grams,
+                           s -> {_SHINGLE_HASH_SQL.format(s='s')} % 512) AS fb,
+                       CAST(lang = 'en' AS INT) AS tgt
+                FROM (
+                    SELECT doc_id, lang,
+                           list_concat(ws,
+                               list_transform(
+                                   generate_series(1, greatest(len(ws) - 1, 0)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS grams
+                    FROM (
+                        SELECT doc_id, lang,
+                               list_filter(
+                                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                        FROM documents
+                    )
+                )
+            ), cnt AS (
+                SELECT b, count(*) AS rc, COALESCE(SUM(tgt), 0) AS tc
+                FROM (SELECT unnest(fb) AS b, tgt FROM f)
+                GROUP BY b
+            ), tot AS (
+                SELECT CAST(SUM(rc) AS DOUBLE) AS rt,
+                       CAST(SUM(tc) AS DOUBLE) AS tt
+                FROM cnt
+            ), w AS (
+                SELECT r.b,
+                       ln((COALESCE(c.tc, 0) + 1.0) / (tt + 512))
+                       - ln((COALESCE(c.rc, 0) + 1.0) / (rt + 512)) AS lw
+                FROM range(512) r(b) LEFT JOIN cnt c ON r.b = c.b, tot
+            ), wl AS (
+                SELECT list(lw ORDER BY b) AS wts FROM w
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(fb) AS BIGINT) AS n_feats,
+                       round(list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(fb,
+                                   b -> wts[CAST(b AS INT) + 1])),
+                           (acc, x) -> acc + x), 6) AS dsir_score
+                FROM f, wl
+            )
+            SELECT doc_id, n_feats, dsir_score,
+                   CAST(dsir_score > 0 AS INT) AS kept
+            FROM s
         """,
         "gopher_quality": """
             WITH f AS (

@@ -66,6 +66,7 @@ HEADLINE = [
     "pack_sequences",
     "language_mix",
     "substring_dups",
+    "dsir_select",
 ]
 
 
