@@ -775,6 +775,17 @@ def q_kmeans_centroids(spark, sf_dir):
     return S.kmeans_centroid_table(emb, k=8, iters=4)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/simsearch.py:semdedup): k-means
+    cluster (2 Lloyd iterations, k=8 — same recurrence as
+    ``kmeans_centroids``), then drop every vector whose 6-dp cosine to a
+    lower-id cluster-mate exceeds 0.35 (the paper's upper-triangular rule).
+    The only join is cluster-keyed, so pairwise work is Σ|cluster|², never
+    N² — the scale contract is k ∝ N keeping cluster size constant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, threshold=0.35, k=8, iters=2)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4-style repetition quality filter: per-doc dup-word fraction,
     top-bigram fraction and mean word length as per-row JVM HOF folds (no
@@ -1212,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_banded_near_dups": q_ann_banded_near_dups,
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
@@ -1361,6 +1373,34 @@ def _kmeans_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
     LEFT JOIN census n USING (cid)"""
     )
     return "".join(parts)
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """Oracle for ``semdedup`` (simsearch.py:semdedup): the same unrolled
+    Lloyd chain as ``_kmeans_sql`` up to the final assignment ``af``, then
+    the SemDeDup upper-triangular rule — per point the 6-dp max cosine
+    against LOWER-ID members of the same fitted cluster (−1.0 for the
+    cluster's lowest id), removed iff it exceeds the threshold."""
+    chain = _kmeans_sql(k, iters, dim)
+    chain = chain[: chain.index("    census AS")]
+    return (
+        chain
+        + f"""    pr AS (
+        SELECT a.vec_id AS vid,
+               max(round(list_dot_product(pa.ev, pb.ev)
+                   / (sqrt(list_dot_product(pa.ev, pa.ev))
+                      * sqrt(list_dot_product(pb.ev, pb.ev))), 6)) AS mc
+        FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        JOIN pts pa ON pa.vec_id = a.vec_id
+        JOIN pts pb ON pb.vec_id = b.vec_id
+        GROUP BY a.vec_id)
+    SELECT a.vec_id, a.cid AS cluster,
+           COALESCE(pr.mc, -1.0) AS max_prior_cos,
+           CAST(COALESCE(pr.mc, -1.0) > {threshold!r} AS INT) AS removed
+    FROM af a LEFT JOIN pr ON pr.vid = a.vec_id"""
+    )
 
 
 def _lpa_sql(iters: int = 4) -> str:
@@ -2524,6 +2564,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
+        "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "kg_communities": _lpa_sql(iters=4),
         "kg_khop": f"""
             WITH RECURSIVE e AS ({_DIGRAPH_SQL}

@@ -67,6 +67,7 @@ HEADLINE = [
     "language_mix",
     "substring_dups",
     "dsir_select",
+    "semdedup",
 ]
 
 

@@ -455,3 +455,64 @@ def ivf_topk(
         .limit(k)
         .select(id_col, "cluster", F.round(F.col("_cos"), 6).alias("cosine"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then remove every point whose cosine similarity to a
+    LOWER-ID point in the SAME cluster exceeds ``threshold`` — the published
+    implementation's upper-triangular rule (row i is dropped iff any j < i
+    in its cluster has sim > τ, kept points compared against ALL cluster
+    members, not just survivors), so the kept set is deterministic and
+    order-independent across partitionings.
+
+    Returns every input row as
+    ``(vec_id, cluster, max_prior_cos, removed)`` — ``max_prior_cos`` is the
+    6-dp max cosine against lower-id cluster-mates (−1.0 when the point is
+    its cluster's lowest id) and ``removed`` ∈ {0, 1}; callers keep
+    ``removed = 0``.
+
+    Scale shape — the whole point of SemDeDup is that clustering bounds the
+    quadratic: the only join is a CLUSTER-KEYED self-join (one shuffle per
+    side), so pairwise work is Σ|cluster|², never N²; at 100 TB you scale
+    ``k ∝ N`` so the expected cluster size stays constant (the paper uses
+    k = 25k for LAION-440M, ~18k points/cluster) and write the assigned
+    table bucketed BY ``cluster`` so the self-join is co-located and
+    shuffle-free. The fit is ``kmeans_fit`` (map-side-combined, driver
+    state = k×dim doubles); assignment is the shuffle-free literal fold of
+    ``ivf_assign``; the per-point max is a partial aggregate. A pathological
+    hot cluster is capped by raising k — the same knob the paper tunes.
+    """
+    fitted = kmeans_fit(emb, k, iters, id_col, vec_col, dim)
+    cents = [(cid, cv) for cid, cv, _ in fitted]
+    assigned = ivf_assign(emb, cents, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), "cluster", _to_double(F.col(vec_col)).alias("e")
+    )
+    lower = assigned.select(
+        F.col("vid").alias("bvid"), "cluster", F.col("e").alias("be")
+    )
+    max_prior = (
+        assigned.join(lower, on="cluster")
+        .where(F.col("bvid") < F.col("vid"))
+        .select("vid", F.round(cosine(F.col("e"), F.col("be")), 6).alias("c"))
+        .groupBy("vid")
+        .agg(F.max("c").alias("mc"))
+    )
+    return (
+        assigned.join(max_prior, on="vid", how="left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce("mc", F.lit(-1.0)).alias("max_prior_cos"),
+            (F.coalesce("mc", F.lit(-1.0)) > F.lit(threshold)).cast("int").alias("removed"),
+        )
+    )
