@@ -762,6 +762,20 @@ def q_dsir_select(spark, sf_dir):
     return dsir_scores(d, F.col("lang") == "en", n_buckets=512)
 
 
+def q_countmin_audit(spark, sf_dir):
+    """Count-Min sketch heavy-hitter audit (operators/sketches.py): build
+    the bounded d=4×width=16 token-frequency sketch (md5 row hashes shared
+    with the oracle), take the exact top-20 tokens, and report each one's
+    CM estimate and collision overcount (≥ 0 by construction; the corpus
+    vocabulary is ~31 ASCII tokens, so width=16 forces visible collisions
+    and the audit is non-trivial — 11 of 20 heavy hitters overcount)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.sketches import (
+        countmin_audit,
+    )
+
+    return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """In-engine IVF centroid TRAINING (operators/simsearch.py:kmeans_fit):
     4 fixed Lloyd spherical-k-means iterations, k=8, over the embeddings
@@ -1224,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
         "semdedup": q_semdedup,
+        "countmin_audit": q_countmin_audit,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
@@ -2565,6 +2580,38 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
+        "countmin_audit": f"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '')) AS token
+                FROM documents
+            ), js AS (SELECT unnest(range(0, 4)) AS j),
+            hb AS (
+                SELECT token, j,
+                       {_SHINGLE_HASH_SQL.format(
+                           s="CAST(j AS VARCHAR) || ':' || token")} % 16 AS bucket
+                FROM toks CROSS JOIN js
+            ),
+            sketch AS (SELECT j, bucket, count(*) AS cnt FROM hb GROUP BY j, bucket),
+            exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token),
+            top AS (SELECT token, exact_count FROM exact
+                    ORDER BY exact_count DESC, token LIMIT 20),
+            probe AS (
+                SELECT t.token, j,
+                       {_SHINGLE_HASH_SQL.format(
+                           s="CAST(j AS VARCHAR) || ':' || t.token")} % 16 AS bucket
+                FROM top t CROSS JOIN js
+            ),
+            est AS (
+                SELECT p.token, min(s.cnt) AS est_count
+                FROM probe p JOIN sketch s USING (j, bucket)
+                GROUP BY p.token
+            )
+            SELECT t.token, t.exact_count, e.est_count,
+                   e.est_count - t.exact_count AS overcount
+            FROM top t JOIN est e USING (token)
+        """,
         "kg_communities": _lpa_sql(iters=4),
         "kg_khop": f"""
             WITH RECURSIVE e AS ({_DIGRAPH_SQL}

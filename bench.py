@@ -68,6 +68,7 @@ HEADLINE = [
     "substring_dups",
     "dsir_select",
     "semdedup",
+    "countmin_audit",
 ]
 
 
