@@ -762,6 +762,22 @@ def q_dsir_select(spark, sf_dir):
     return dsir_scores(d, F.col("lang") == "en", n_buckets=512)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (operators/ranking.py): Lucene-variant idf, k1=1.2
+    b=0.75, query = [dup, hash, join, spark] (one rare + three common terms
+    so idf spread is real). Two scans, zero shuffles in the scoring path:
+    one bounded stats agg (N, avgdl, per-term df), then a map-only score
+    projection + TakeOrdered top-15. The oracle replays the identical
+    term-ordered IEEE fold."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.ranking import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "join", "spark"], k=15
+    )
+
+
 def q_countmin_audit(spark, sf_dir):
     """Count-Min sketch heavy-hitter audit (operators/sketches.py): build
     the bounded d=4×width=16 token-frequency sketch (md5 row hashes shared
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "semdedup": q_semdedup,
         "countmin_audit": q_countmin_audit,
+        "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
@@ -1388,6 +1405,58 @@ def _kmeans_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
     LEFT JOIN census n USING (cid)"""
     )
     return "".join(parts)
+
+
+def _bm25_sql(
+    terms: list[str], k: int = 15, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Oracle for ``bm25_topk`` (ranking.py): replays the identical
+    IEEE-double recurrence — one stats pass (N, avgdl = one double division,
+    per-term df), libm ``ln`` idf (the same libm the driver's ``math.log``
+    calls, the ``dsir_select`` precedent), and the term-ordered left-assoc
+    score fold, rounded to 6 dp."""
+    nt = len(terms)
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        f"SUM(CAST(tf{i} > 0 AS BIGINT)) AS df{i}" for i in range(nt)
+    )
+    idf_cols = ",\n               ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) AS idf{i}" for i in range(nt)
+    )
+    hits = " + ".join(f"CAST(tf{i} > 0 AS INT)" for i in range(nt))
+    norm = f"{k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)"
+    score = "0.0 + " + " + ".join(
+        f"idf{i} * tf{i} * {k1 + 1.0!r} / (tf{i} + {norm})" for i in range(nt)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len(ws) AS dl,
+               {tf_cols}
+        FROM d
+    ), s AS (
+        SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+               {df_cols}
+        FROM t
+    ), i AS (
+        SELECT avgdl,
+               {idf_cols}
+        FROM s
+    )
+    SELECT doc_id, n_terms_hit, bm25 FROM (
+        SELECT t.doc_id,
+               {hits} AS n_terms_hit,
+               round({score}, 6) AS bm25
+        FROM t, i
+    ) WHERE n_terms_hit > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {k}"""
 
 
 def _semdedup_sql(
@@ -2580,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_values": _pagerank_sql(iters=10, damping=0.85),
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
+        "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
         "countmin_audit": f"""
             WITH toks AS (
                 SELECT unnest(list_filter(

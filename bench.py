@@ -69,6 +69,7 @@ HEADLINE = [
     "dsir_select",
     "semdedup",
     "countmin_audit",
+    "bm25_topk",
 ]
 
 
