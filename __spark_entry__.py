@@ -539,6 +539,24 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-gated decontamination (curation.py:bloom_decontaminate) — the
+    100-TB shape of ``decontaminate``: the eval 3-gram set folds into an
+    8192-bit / 3-hash Bloom literal, the train pass is map-only
+    (no explode/join/shuffle of train data), and ONLY the bloom-flagged
+    candidate docs (~183 of 975 at sf0.01) enter the exact overlap join.
+    Output exposes the measured false-positive cost (flagged-but-clean
+    rows); no false negatives by construction."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 41 != 0).select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 41 == 0)
+    return bloom_decontaminate(train, ev, n=3, m_bits=8192, h=3, min_hits=2)
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic PII appended (email when doc_id%3==0,
     phone when %4==0, IPv4 when %5==0) — identical concat in the oracle."""
@@ -1264,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "language_mix": q_language_mix,
@@ -2329,6 +2348,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_overlap, 0) AS n_overlap,
                    CAST(COALESCE(h.n_overlap, 0) >= 2 AS INT) AS contaminated
             FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 41 <> 0
+        """,
+        "bloom_decontaminate": f"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(0, len(ws) - 2),
+                               i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gram
+                    FROM w WHERE doc_id % 41 <> 0)
+            ),
+            eg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(list_transform(range(0, len(ws) - 2),
+                               i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gram
+                    FROM w WHERE doc_id % 41 = 0)
+            ),
+            js AS (SELECT unnest(range(0, 3)) AS j),
+            epos AS (
+                SELECT DISTINCT {_SHINGLE_HASH_SQL.format(
+                    s="CAST(j AS VARCHAR) || ':' || gram")} % 8192 AS p
+                FROM eg CROSS JOIN js
+            ),
+            tp AS (
+                SELECT doc_id, gram, j,
+                       {_SHINGLE_HASH_SQL.format(
+                           s="CAST(j AS VARCHAR) || ':' || gram")} % 8192 AS p
+                FROM tg CROSS JOIN js
+            ),
+            gt AS (
+                SELECT doc_id, gram, CAST(count(e.p) = 3 AS INT) AS pass
+                FROM tp LEFT JOIN epos e USING (p)
+                GROUP BY doc_id, gram
+            ),
+            per AS (
+                SELECT g.doc_id,
+                       CAST(SUM(g.pass) AS BIGINT) AS n_maybe,
+                       CAST(SUM(CASE WHEN x.gram IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_exact
+                FROM gt g LEFT JOIN eg x USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_maybe, 0) AS n_maybe,
+                   CAST(COALESCE(per.n_maybe, 0) >= 2 AS INT) AS bloom_flagged,
+                   CASE WHEN COALESCE(per.n_maybe, 0) >= 2
+                        THEN COALESCE(per.n_exact, 0) ELSE 0 END AS n_overlap,
+                   CAST(COALESCE(per.n_maybe, 0) >= 2
+                        AND COALESCE(per.n_exact, 0) >= 2 AS INT) AS contaminated
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             WHERE d.doc_id % 41 <> 0
         """,
         "pii_redact": """

@@ -70,6 +70,7 @@ HEADLINE = [
     "semdedup",
     "countmin_audit",
     "bm25_topk",
+    "bloom_decontaminate",
 ]
 
 

@@ -234,3 +234,105 @@ def language_mix_sample(
     return per_key_cap(
         df, key=lang_col, id_col=id_col, cap=quotas, seed=seed
     ).withColumnRenamed("cap_rank", "mix_rank")
+
+
+def bloom_positions(gram: Column, j: int, m_bits: int) -> Column:
+    """Bloom hash ``j`` of a gram → bit position in ``[0, m_bits)`` — the
+    md5 scheme of ``dedup.shingle_hash`` over ``"<j>:<gram>"``, so the
+    DuckDB oracle rebuilds the identical filter."""
+    from .dedup import shingle_hash
+
+    return shingle_hash(F.concat(F.lit(f"{j}:"), gram)) % m_bits
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, h: int) -> list[int]:
+    """The filter's occupied-position indicator (0/1 per bit), built
+    in-engine: one distinct over ≤ ``m_bits`` positions, collected like the
+    taxonomy map — bounded by the FILTER SIZE, never the key count."""
+    pos = (
+        keys.select(
+            F.explode(
+                F.array(*[bloom_positions(F.col(key_col), j, m_bits) for j in range(h)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [0] * m_bits
+    for r in pos:
+        bits[int(r["p"])] = 1
+    return bits
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 8192,
+    h: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Bloom-gated decontamination — the 100-TB shape of :func:`decontaminate`.
+
+    The eval n-gram set is folded into an ``m_bits``-bit Bloom filter
+    (``h`` md5 hashes) shipped as ONE array literal, so the corpus pass is a
+    pure map: each doc counts its grams that pass the filter
+    (``size(filter(grams, …))`` — no explode, no join, no shuffle of train
+    data at all).  Only docs with ``n_maybe ≥ min_hits`` — a benchmark-
+    bounded candidate set, since the filter never misses a true member —
+    flow into the exact overlap join; everything else is proven clean by
+    the map pass alone.  Compare :func:`decontaminate`, which explodes and
+    semi-joins EVERY train gram: at 10^12 docs that is the difference
+    between a scan and a corpus-sized shuffle feeding a broadcast probe.
+
+    Output per train doc: ``n_maybe`` (Bloom-passing gram count — an upper
+    bound on the true overlap), ``bloom_flagged``, ``n_overlap`` (exact,
+    computed ONLY for flagged docs — 0 otherwise by contract), and
+    ``contaminated`` (exact ≥ ``min_hits``).  No false negatives by
+    construction: ``n_maybe ≥`` true overlap per doc, so every contaminated
+    doc is flagged; flagged-but-clean rows expose the measured
+    false-positive cost."""
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    bits = bloom_bits(eval_grams, "gram", m_bits, h)
+    # one SQL-text literal (single py4j call, ConstantFolding collapses it)
+    blit = F.expr("array(" + ",".join(str(b) for b in bits) + ")")
+
+    def _passes(g: Column) -> Column:
+        test = None
+        for j in range(h):
+            p = bloom_positions(g, j, m_bits)
+            t = F.element_at(blit, (p + 1).cast("int")) == 1
+            test = t if test is None else test & t
+        return test
+
+    grams = word_ngrams(F.col(text_col), n)
+    base = train.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(F.filter(grams, _passes)).cast("long").alias("n_maybe"),
+    )
+    flagged_grams = base.where(F.col("n_maybe") >= min_hits).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    exact = (
+        flagged_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        base.join(exact, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_maybe"),
+            (F.col("n_maybe") >= min_hits).cast("int").alias("bloom_flagged"),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_hits)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
