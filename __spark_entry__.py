@@ -228,6 +228,24 @@ def q_price_percentiles(spark, sf_dir):
     )
 
 
+def q_click_attribution(spark, sf_dir):
+    """Interval-join attribution (streaming/joins.py:attribute_clicks, run
+    in batch mode — the same function drives the stream-stream join in
+    ``test_stream_join``): every (view, click) pair of the same user with
+    the click at most 30 minutes after the view. The equality key bounds
+    the shuffle; the time interval bounds streaming state."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.streaming.joins import (
+        attribute_clicks,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_clicks(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "click"),
+        max_delay="30 minutes",
+    )
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join expressed as an ignore-nulls running window: for each
     purchase, seconds since the same user's most recent prior click."""
@@ -1246,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "price_percentiles": q_price_percentiles,
         "asof_last_click": q_asof_last_click,
+        "click_attribution": q_click_attribution,
         "events_json": q_events_json,
         "user_sessions": q_user_sessions,
         "hourly_events": q_hourly_events,
@@ -1860,6 +1879,19 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "click_attribution": """
+            SELECT c.user_id,
+                   v.event_id AS view_id,
+                   c.event_id AS click_id,
+                   CAST(floor(epoch(c.ts)) AS BIGINT)
+                   - CAST(floor(epoch(v.ts)) AS BIGINT) AS delay_sec,
+                   c.value AS click_value
+            FROM events v JOIN events c
+              ON v.user_id = c.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
+            WHERE v.event_type = 'view' AND c.event_type = 'click'
         """,
         "asof_last_click": """
             SELECT event_id, user_id,

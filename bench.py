@@ -71,6 +71,7 @@ HEADLINE = [
     "countmin_audit",
     "bm25_topk",
     "bloom_decontaminate",
+    "click_attribution",
 ]
 
 
