@@ -828,6 +828,20 @@ def q_countmin_audit(spark, sf_dir):
     return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
 
 
+def q_hll_ngrams(spark, sf_dir):
+    """HyperLogLog distinct-cardinality audit (operators/sketches.py):
+    p=8 (256 registers) over the word 3-gram stream of the documents
+    table, beside the exact distinct count — one row with the estimate and
+    signed relative error. The register sum is exact integer arithmetic
+    (powers of two scaled by 2^53), so the estimate is bit-stable across
+    partitionings and engines."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.sketches import (
+        hll_distinct_audit,
+    )
+
+    return hll_distinct_audit(_t(spark, sf_dir, "documents"), n=3, p=8)
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """In-engine IVF centroid TRAINING (operators/simsearch.py:kmeans_fit):
     4 fixed Lloyd spherical-k-means iterations, k=8, over the embeddings
@@ -1292,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "semdedup": q_semdedup,
         "countmin_audit": q_countmin_audit,
+        "hll_ngrams": q_hll_ngrams,
         "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -2754,6 +2769,55 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
+        # HLL p=8: m=256, w_bits=52, k=53; alpha*m*m and 2^53 inlined from
+        # the same Python floats sketches.py ships to Spark
+        "hll_ngrams": f"""
+            WITH w AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT unnest(list_transform(range(0, len(ws) - 2),
+                    i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gram
+                FROM w
+            ),
+            hh AS (
+                SELECT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h FROM g
+            ),
+            r AS (
+                SELECT h % 256 AS bucket,
+                       max(CASE WHEN (h >> 8) = 0 THEN 53
+                                ELSE 52 - length(bin(h >> 8)) + 1 END) AS rho
+                FROM hh GROUP BY bucket
+            ),
+            s AS (
+                SELECT CAST(COALESCE(SUM(1::BIGINT << (53 - rho)), 0)
+                            + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_int,
+                       CAST(count(*) AS BIGINT) AS n_present,
+                       256 - count(*) AS v_zero
+                FROM r
+            ),
+            e AS (
+                SELECT n_present,
+                       CAST({0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r} AS DOUBLE)
+                       * CAST({float(1 << 53)!r} AS DOUBLE)
+                       / CAST(s_int AS DOUBLE) AS e_raw,
+                       v_zero
+                FROM s
+            ),
+            est AS (
+                SELECT n_present AS n_registers,
+                       round(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+                                  THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                                  ELSE e_raw END, 4) AS hll_estimate
+                FROM e
+            ),
+            x AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g)
+            SELECT n_registers, hll_estimate, n_exact,
+                   round((hll_estimate - n_exact) / CAST(n_exact AS DOUBLE)
+                         * 100.0, 2) AS rel_err_pct
+            FROM est, x
+        """,
         "countmin_audit": f"""
             WITH toks AS (
                 SELECT unnest(list_filter(

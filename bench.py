@@ -72,6 +72,7 @@ HEADLINE = [
     "bm25_topk",
     "bloom_decontaminate",
     "click_attribution",
+    "hll_ngrams",
 ]
 
 

@@ -106,3 +106,95 @@ def countmin_audit(
         "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+# --- HyperLogLog ----------------------------------------------------------
+
+#: md5-derived hash width used by HLL (shingle_hash's 15 hex digits, unmodded)
+_HLL_HASH_BITS = 60
+
+
+def _hash60(key: Column) -> Column:
+    """The raw 60-bit md5 integer (``shingle_hash`` WITHOUT the mod-P
+    reduction — HLL needs the uniform bit field, not a residue)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(keys: DataFrame, key_col: str = "key", p: int = 8) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) over a key stream →
+    ``(bucket, rho)`` with ``rho`` the max first-one position — ≤ 2^p rows
+    REGARDLESS of stream size (the cardinality counterpart of
+    ``countmin_sketch``'s bounded-state contract; registers from shards
+    merge by max, so the sketch is trivially distributive)."""
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    h = _hash60(F.col(key_col))
+    # top 60-p bits via shift — double division would lose bits above 2^53
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        keys.select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row cardinality estimate from the register table.
+
+    The register sum Σ2^(−M_j) is computed in EXACT integer arithmetic
+    (each term scaled by 2^(w_bits+1) is a power of two that fits a
+    BIGINT, so the sum is order-independent — no floating-point
+    summation-order noise between engines or between runs); the classic
+    small-range correction (E ≤ 2.5 m with empty registers →
+    m·ln(m/V)) uses the same libm ``ln`` both engines call."""
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    k = w_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << k)
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rho)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s_int = F.coalesce(F.col("s_present"), F.lit(0)) + (
+        F.lit(m) - F.col("n_present")
+    ) * F.lit(1 << k)
+    v_zero = F.lit(m) - F.col("n_present")
+    e_raw = F.lit(alpha * m * m) * F.lit(scale) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("n_present").cast("long").alias("n_registers"),
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_distinct_audit(
+    docs: DataFrame, n: int = 3, p: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-gram cardinality: HLL estimate beside the exact
+    count → one row ``(n_registers, hll_estimate, n_exact, rel_err_pct)``.
+    The exact side is the audit (like ``countmin_audit``); the sketch side
+    is the 100-TB path — per-shard registers merged by max, never a
+    corpus-wide distinct shuffle."""
+    from .curation import word_ngrams
+
+    grams = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    est = hll_estimate(hll_registers(grams, "gram", p), p)
+    exact = grams.agg(F.count_distinct("gram").cast("long").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_registers",
+        "hll_estimate",
+        "n_exact",
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            * 100.0,
+            2,
+        ).alias("rel_err_pct"),
+    )
