@@ -828,6 +828,20 @@ def q_countmin_audit(spark, sf_dir):
     return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/lm.py): add-1-smoothed
+    char-bigram LM trained on the doc_id %% 41 == 0 reference slice, every
+    doc scored by perplexity in ONE map-only pass (model ships as two map
+    literals; the per-doc ln-prob sum is an ordered fold, so both engines
+    agree to the last bit before the 4-dp round)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.lm import (
+        lm_perplexity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity(d, d.where(F.col("doc_id") % 41 == 0))
+
+
 def q_hll_ngrams(spark, sf_dir):
     """HyperLogLog distinct-cardinality audit (operators/sketches.py):
     p=8 (256 registers) over the word 3-gram stream of the documents
@@ -1307,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "countmin_audit": q_countmin_audit,
         "hll_ngrams": q_hll_ngrams,
+        "lm_perplexity": q_lm_perplexity,
         "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -2769,6 +2784,55 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
+        "lm_perplexity": """
+            WITH cs AS (
+                SELECT doc_id, lang, string_split(text, '') AS cs FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, lang,
+                       list_transform(range(1, len(cs)),
+                           i -> struct_pack(a := cs[i], b := cs[i + 1])) AS bgs
+                FROM cs
+            ),
+            rc AS (
+                SELECT u.a AS a, u.b AS b, count(*) AS c FROM (
+                    SELECT unnest(bgs) AS u FROM bg WHERE doc_id % 41 = 0
+                ) GROUP BY u.a, u.b
+            ),
+            ctx AS (SELECT a, SUM(c) AS ca FROM rc GROUP BY a),
+            vv AS (
+                SELECT count(*) + 1 AS v FROM (
+                    SELECT a AS ch FROM rc UNION SELECT b FROM rc
+                )
+            ),
+            pm AS (
+                SELECT map(list(k ORDER BY k), list(lnp ORDER BY k)) AS m FROM (
+                    SELECT rc.a || rc.b AS k,
+                           ln((rc.c + 1) / (ctx.ca + vv.v)) AS lnp
+                    FROM rc JOIN ctx USING (a), vv
+                )
+            ),
+            dm AS (
+                SELECT map(list(a ORDER BY a), list(lnd ORDER BY a)) AS m FROM (
+                    SELECT a, ln(ca + vv.v) AS lnd FROM ctx, vv
+                )
+            ),
+            sc AS (
+                SELECT doc_id, lang, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(bgs,
+                                   s -> COALESCE(
+                                       map_extract(pm.m, s.a || s.b)[1],
+                                       -COALESCE(map_extract(dm.m, s.a)[1],
+                                                 ln(vv.v))))),
+                           (acc, x) -> acc + x) AS ss
+                FROM bg, pm, dm, vv
+            )
+            SELECT doc_id, lang, n_bigrams,
+                   round(exp(-ss / n_bigrams), 4) AS ppl
+            FROM sc WHERE n_bigrams > 0
+        """,
         # HLL p=8: m=256, w_bits=52, k=53; alpha*m*m and 2^53 inlined from
         # the same Python floats sketches.py ships to Spark
         "hll_ngrams": f"""

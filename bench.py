@@ -73,6 +73,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "click_attribution",
     "hll_ngrams",
+    "lm_perplexity",
 ]
 
 
