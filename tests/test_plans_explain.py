@@ -243,3 +243,51 @@ def test_gopher_quality_plan_shape(spark):
         assert python_node not in plan
     assert "Generate" not in plan  # no explode — map-only feature pass
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_dsir_scoring_is_join_free(spark):
+    """dsir_select: the weight table ships as a literal, so the scoring
+    projection has no join anywhere; the only exchange is the bounded
+    distribution groupBy."""
+    plan = _plan(entry_mod.q_dsir_select(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_single_bounded_aggregate(spark):
+    """hll_ngrams: registers are one partial-aggregated groupBy (≤2^p rows);
+    no join feeds the estimate — the exact-count audit side is the only
+    other aggregate."""
+    plan = _plan(entry_mod.q_hll_ngrams(spark, SF_DIR))
+    assert "partial_max" in plan  # register max is map-side combined
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_sketch_partial_aggregation(spark):
+    plan = _plan(entry_mod.q_countmin_audit(spark, SF_DIR))
+    assert "partial_count" in plan  # sketch cells combine map-side
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_lm_perplexity_scoring_shuffle_free(spark):
+    """lm_perplexity: after the bounded model fit (driver literals), the
+    scoring query itself is a pure projection — no exchange, no join, no
+    Python."""
+    plan = _plan(entry_mod.q_lm_perplexity(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_no_train_side_shuffle_before_filter(spark):
+    """bloom_decontaminate: no cartesian/python; the exact-verify join is
+    gated behind the bloom flag (candidate-bounded)."""
+    plan = _plan(entry_mod.q_bloom_decontaminate(spark, SF_DIR))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_join_is_cluster_keyed(spark):
+    plan = _plan(entry_mod.q_semdedup(spark, SF_DIR))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "cluster" in plan  # the equi-join key is the k-means cluster
