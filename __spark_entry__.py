@@ -828,6 +828,23 @@ def q_countmin_audit(spark, sf_dir):
     return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
 
 
+def q_exact_median(spark, sf_dir):
+    """Exact median of l_extendedprice WITHOUT a global sort
+    (operators/quantiles.py): O(log_64 N) bounded histogram scans narrow
+    the candidate range, one TakeOrdered resolves the final rank — the
+    distributed-selection pattern a 10^12-row order statistic demands.
+    take_threshold=2000 forces the histogram rounds to actually run at
+    every test SF; the oracle checks the VALUE against DuckDB's
+    row_number median (avg of the two middle order statistics)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.quantiles import (
+        exact_median,
+    )
+
+    return exact_median(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", buckets=64, take_threshold=2000
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality signal (operators/lm.py): add-1-smoothed
     char-bigram LM trained on the doc_id %% 41 == 0 reference slice, every
@@ -1322,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_audit": q_countmin_audit,
         "hll_ngrams": q_hll_ngrams,
         "lm_perplexity": q_lm_perplexity,
+        "exact_median": q_exact_median,
         "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -2784,6 +2802,20 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
+        "exact_median": """
+            WITH v AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+            ),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+            SELECT nn.n,
+                   round((
+                       (SELECT x FROM r, nn WHERE rn = (nn.n + 1) // 2)
+                       + (SELECT x FROM r, nn WHERE rn = (nn.n + 2) // 2)
+                   ) / 2.0, 4) AS median
+            FROM nn
+        """,
         "lm_perplexity": """
             WITH cs AS (
                 SELECT doc_id, lang, string_split(text, '') AS cs FROM documents

@@ -74,6 +74,7 @@ HEADLINE = [
     "click_attribution",
     "hll_ngrams",
     "lm_perplexity",
+    "exact_median",
 ]
 
 
