@@ -828,6 +828,32 @@ def q_countmin_audit(spark, sf_dir):
     return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
 
 
+def q_width_normalize(spark, sf_dir):
+    """Full-width → half-width folding (operators/textstats.py:
+    normalize_width): each doc gets a deterministic full-width decoration
+    (　ＦＷ：<full-width doc_id>！ — the corpus itself is half-width only),
+    the normalizer folds it back, and the oracle INDEPENDENTLY md5s the
+    expected half-width result — an end-to-end inversion check of the
+    translate table, plus the folded-char census."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.textstats import (
+        fullwidth_char_count,
+        normalize_width,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"),
+        F.lit("　ＦＷ："),
+        F.translate(F.col("doc_id").cast("string"), "0123456789", "０１２３４５６７８９"),
+        F.lit("！"),
+    )
+    return d.select(
+        "doc_id",
+        fullwidth_char_count(deco).alias("n_fullwidth"),
+        F.md5(normalize_width(deco)).alias("norm_md5"),
+    )
+
+
 def q_exact_median(spark, sf_dir):
     """Exact median of l_extendedprice WITHOUT a global sort
     (operators/quantiles.py): O(log_64 N) bounded histogram scans narrow
@@ -1340,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ngrams": q_hll_ngrams,
         "lm_perplexity": q_lm_perplexity,
         "exact_median": q_exact_median,
+        "width_normalize": q_width_normalize,
         "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -2802,6 +2829,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
+        "width_normalize": """
+            SELECT doc_id,
+                   CAST(5 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                       AS n_fullwidth,
+                   md5(text || ' FW:' || CAST(doc_id AS VARCHAR) || '!')
+                       AS norm_md5
+            FROM documents
+        """,
         "exact_median": """
             WITH v AS (
                 SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -75,6 +75,7 @@ HEADLINE = [
     "hll_ngrams",
     "lm_perplexity",
     "exact_median",
+    "width_normalize",
 ]
 
 

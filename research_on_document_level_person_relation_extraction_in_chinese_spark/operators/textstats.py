@@ -202,3 +202,25 @@ def c4_line_filter(
         .where((F.col("n_lines_kept") >= min_lines) & ~F.col("_bad"))
         .drop("_bad")
     )
+
+
+#: full-width ASCII block (U+FF01–FF5E) + ideographic space — the width-fold
+#: subset of NFKC that matters for zh web text (full-width punctuation and
+#: alphanumerics are pervasive in CJK pages and break tokenizers, dedup
+#: shingles, and regex filters keyed on ASCII)
+_FULLWIDTH = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+_HALFWIDTH = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+
+def normalize_width(col: Column) -> Column:
+    """Full-width → half-width folding (ＡＢＣ！→ ABC!, 　→ space) as ONE
+    JVM ``translate`` — map-only, scan-speed at 100 TB, no Python. Run
+    BEFORE tokenization/shingling so width variants of the same text
+    collapse (the zh analogue of lowercasing)."""
+    return F.translate(col, _FULLWIDTH, _HALFWIDTH)
+
+
+def fullwidth_char_count(col: Column) -> Column:
+    """How many characters width-folding would change (translate with an
+    empty replacement deletes, so the length delta counts them)."""
+    return (F.length(col) - F.length(F.translate(col, _FULLWIDTH, ""))).cast("long")
