@@ -828,6 +828,36 @@ def q_countmin_audit(spark, sf_dir):
     return countmin_audit(_t(spark, sf_dir, "documents"), d=4, width=16, k=20)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/snapshot.py) — the incremental-maintenance
+    primitive for re-materialized KG tables: per-(user, event_type)
+    aggregates of two overlapping event windows (ts < Jan 3 vs
+    Jan 2 ≤ ts < Jan 4) full-outer-diffed into added / removed / changed /
+    same with old/new values side by side. One shuffle join total; at
+    10^12 edges both snapshots are bucketed by the diff key so it goes
+    co-located."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+
+    e = _t(spark, sf_dir, "events")
+
+    def agg(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    old = agg(e.where(F.col("ts") < F.lit("2024-01-03").cast("timestamp")))
+    new = agg(
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        )
+    )
+    return snapshot_diff(old, new, keys=["user_id", "event_type"], compare=["n_events", "total"])
+
+
 def q_width_normalize(spark, sf_dir):
     """Full-width → half-width folding (operators/textstats.py:
     normalize_width): each doc gets a deterministic full-width decoration
@@ -1367,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "exact_median": q_exact_median,
         "width_normalize": q_width_normalize,
+        "snapshot_diff": q_snapshot_diff,
         "bm25_topk": q_bm25_topk,
         "dsir_select": q_dsir_select,
         "gopher_quality": q_gopher_quality,
@@ -2829,6 +2860,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(k=8, iters=4, dim=64),
         "semdedup": _semdedup_sql(k=8, iters=2, dim=64, threshold=0.35),
         "bm25_topk": _bm25_sql(["dup", "hash", "join", "spark"], k=15),
+        "snapshot_diff": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       round(sum(value), 2) AS total
+                FROM events WHERE ts < TIMESTAMP '2024-01-03'
+                GROUP BY user_id, event_type
+            ),
+            n AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       round(sum(value), 2) AS total
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04'
+                GROUP BY user_id, event_type
+            )
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                   COALESCE(o.event_type, n.event_type) AS event_type,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.n_events IS DISTINCT FROM n.n_events
+                             OR o.total IS DISTINCT FROM n.total THEN 'changed'
+                        ELSE 'same' END AS status,
+                   o.n_events AS n_events_old, o.total AS total_old,
+                   n.n_events AS n_events_new, n.total AS total_new
+            FROM o FULL OUTER JOIN n
+              ON o.user_id = n.user_id AND o.event_type = n.event_type
+        """,
         "width_normalize": """
             SELECT doc_id,
                    CAST(5 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)

@@ -76,6 +76,7 @@ HEADLINE = [
     "lm_perplexity",
     "exact_median",
     "width_normalize",
+    "snapshot_diff",
 ]
 
 
