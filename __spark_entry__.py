@@ -4,10 +4,19 @@
 triples of the synthetic Common-Crawl-style corpus). ``queries`` /
 ``oracle_sql`` cover the operator inventory of SURVEY.md §2 plus the
 training-data-pipeline operators (dedup, similarity search, text analysis)
-over the driver's relational tables, each with an exact DuckDB oracle where
-SQL-expressible (non-SQL ops — KG pipeline, multimodal plumbing — are listed
-without an oracle and get the driver's rows-only check; their correctness
-gate is the pytest parity suite).
+over the driver's relational tables — every entry carries an exact DuckDB
+oracle: hand-written SQL where expressible, and the committed plain-Python
+port fixtures (fixtures/port/, plans/port_fixtures.py) for the KG pipeline
+queries whose semantics (scorer replay, iterative CC, power iteration) SQL
+can't express directly.
+
+Query ordering note (round 5): the driver's correctness battery samples the
+FIRST 50 ``queries()`` keys, so the dict is ordered coverage-first — the 28
+entries that had no green row in CORRECTNESS_r04.json (rotated out or new in
+r4) plus this round's new queries come first, then the longest-unverified
+r4 entries fill the remaining slots; the r4-verified overflow (all green in
+CORRECTNESS_r04.json) sits past position 50 and stays covered by the pytest
+oracle self-check, which replays ALL entries.
 """
 
 from __future__ import annotations
@@ -40,6 +49,37 @@ from research_on_document_level_person_relation_extraction_in_chinese_spark.sour
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_PIPELINE_MEMO: dict = {}
+
+
+def _pipeline_graph(spark: SparkSession) -> dict:
+    """One-slot driver-side memo of the 600-doc pipeline's (nodes, edges):
+    q_kg_nodes_pipeline / q_kg_edges_pipeline / q_kg_pagerank all consume the
+    same run, so the correctness battery pays for ONE pipeline execution
+    instead of three. nodes/edges are persisted + materialized (they are
+    KB-sized); keyed by applicationId so a fresh session recomputes.
+    Driver-only module state — never read inside a worker fn (CLAUDE.md)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    app = spark.sparkContext.applicationId
+    if _PIPELINE_MEMO.get("app") != app:
+        for df in (_PIPELINE_MEMO.get("nodes"), _PIPELINE_MEMO.get("edges")):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        corpus = generate_corpus(spark, 600, seed=42)
+        res = run_pipeline(spark, corpus, catalog=None, with_metrics=False)
+        nodes = res["nodes"].persist()
+        edges = res["edges"].persist()
+        nodes.count(), edges.count()
+        _PIPELINE_MEMO.update({"app": app, "nodes": nodes, "edges": edges})
+    return _PIPELINE_MEMO
 
 
 def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,32 +1068,50 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# KG pipeline + multimodal plumbing (non-SQL-expressible → rows-only check)
+# KG pipeline + multimodal plumbing. Formerly rows-only; now VALUE-gated
+# against the plain-Python port fixtures (plans/port_fixtures.py — the
+# committed parquet under fixtures/port/ holds the independently-computed
+# expected sets, regenerated by scripts/gen_port_fixtures.py and staleness-
+# guarded by tests/test_port_fixtures.py).
 # --------------------------------------------------------------------------
 
 def q_kg_triples(spark, sf_dir):
+    """Flagship: the full extraction pipeline's distinct (url, subj, obj,
+    rel) triple set on the 600-doc deterministic corpus — value-gated
+    row-for-row against the reference-logic port's emitted set."""
     corpus = generate_corpus(spark, 600, seed=42)
     return extract_triples(corpus)
 
 
 def q_kg_nodes_pipeline(spark, sf_dir):
-    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
-        run_pipeline,
+    """Pipeline node table (linking + CC + build_nodes over the real corpus),
+    projected on canonical_name so the Spark-only xxhash64 person_id doesn't
+    block the value oracle (the id is just xxhash64(canonical_name); its
+    derivation stays covered by kg_nodes/kg_edges and the pytest e2e)."""
+    nodes = _pipeline_graph(spark)["nodes"]
+    return nodes.select(
+        "canonical_name", F.size("aliases").alias("n_aliases"), "n_docs"
     )
-
-    corpus = generate_corpus(spark, 600, seed=42)
-    nodes = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["nodes"]
-    return nodes.select("person_id", "canonical_name", F.size("aliases").alias("n_aliases"), "n_docs")
 
 
 def q_kg_edges_pipeline(spark, sf_dir):
-    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
-        run_pipeline,
+    """Pipeline edge table re-keyed to canonical names (same trick as
+    kg_edges) — alias resolution, fallback-to-surface-form coalesce, and the
+    countDistinct(url) weights are all value-checked against the port."""
+    res = _pipeline_graph(spark)
+    nn = res["nodes"].select("person_id", "canonical_name")
+    sn = nn.select(
+        F.col("person_id").alias("subj_id"), F.col("canonical_name").alias("subj_name")
     )
-
-    corpus = generate_corpus(spark, 600, seed=42)
-    edges = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["edges"]
-    return edges.select("subj_id", "obj_id", "rel", "n_docs")
+    on = nn.select(
+        F.col("person_id").alias("obj_id"), F.col("canonical_name").alias("obj_name")
+    )
+    return (
+        res["edges"]
+        .join(sn, "subj_id")
+        .join(on, "obj_id")
+        .select("subj_name", "obj_name", "rel", "n_docs")
+    )
 
 
 def _kg_link_fixture(spark, sf_dir):
@@ -1148,16 +1206,16 @@ def q_kg_edges(spark, sf_dir):
 def q_kg_pagerank(spark, sf_dir):
     """KG analytics over the materialized graph: weighted PageRank centrality
     of persons on the symmetrized co-occurrence relation edges (iterative
-    power method — operators/graph.py:pagerank; non-SQL-expressible)."""
+    power method — operators/graph.py:pagerank). Fixed 10 iterations (tol=0)
+    and name-keyed full output so the plain-Python port replays the identical
+    recurrence; ranks rounded to 6 dp (cross-engine float noise is sum-order
+    only, ~1e-14 — same bound as kg_pagerank_values)."""
     from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.graph import (
         pagerank,
     )
-    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.pipeline import (
-        run_pipeline,
-    )
 
-    corpus = generate_corpus(spark, 600, seed=42)
-    edges = run_pipeline(spark, corpus, catalog=None, with_metrics=False)["edges"]
+    res = _pipeline_graph(spark)
+    edges = res["edges"]
     sym = edges.select("subj_id", "obj_id", "n_docs").union(
         edges.select(
             F.col("obj_id").alias("subj_id"),
@@ -1167,13 +1225,12 @@ def q_kg_pagerank(spark, sf_dir):
     )
     pr = pagerank(
         sym, src="subj_id", dst="obj_id", weight="n_docs",
-        max_iter=10, check_every=10,
+        max_iter=10, tol=0.0, check_every=100,
     )
-    return (
-        pr.orderBy(F.desc("rank"), "id")
-        .limit(20)
-        .select("id", F.round("rank", 6).alias("rank"))
+    names = res["nodes"].select(
+        F.col("person_id").alias("id"), F.col("canonical_name").alias("name")
     )
+    return pr.join(names, "id").select("name", F.round("rank", 6).alias("rank"))
 
 
 def q_kg_pagerank_values(spark, sf_dir):
@@ -3079,13 +3136,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # kg_triples / kg_nodes_pipeline / kg_edges_pipeline / kg_pagerank /
         # kg_ner_re_replay / kg_generation_replay / kg_union_expansion:
-        # non-SQL-expressible (deterministic scorer pipeline, iterative
-        # connected components / early-stopping power iteration on the
-        # pipeline graph) → rows-only check;
-        # their correctness gate is tests/test_pipeline_e2e.py +
-        # tests/test_re_replay.py (parity vs the reference-logic port) and
-        # tests/test_graph_pagerank.py. (kg_nodes / kg_edges / media_features
-        # / kg_pagerank_values above ARE value-gated: the operators re-run
-        # over deterministic fixtures with recursive-CTE CC / unrolled
-        # power-iteration / scalar-math oracles.)
+        # the scorer pipeline / iterative CC / power iteration are not
+        # SQL-expressible directly, so their oracles read the committed
+        # plain-Python port fixtures (fixtures/port/*.parquet — an
+        # INDEPENDENT single-process execution of the same semantics,
+        # plans/port_fixtures.py; regenerate with scripts/gen_port_fixtures
+        # .py, staleness-guarded by tests/test_port_fixtures.py).
+        **_port_fixture_oracles(),
+    }
+
+
+def _port_fixture_oracles() -> dict[str, str]:
+    """DuckDB oracles for the 7 pipeline queries: full value gates against
+    the committed plain-Python port fixtures. Casts pin the parquet column
+    types to the Spark result types (size() → INT, countDistinct → BIGINT)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.plans.port_fixtures import (
+        default_fixture_dir,
+    )
+
+    d = default_fixture_dir()
+    triple_cols = "url, subj, obj, rel"
+    return {
+        "kg_triples": f"SELECT {triple_cols} FROM '{d}/kg_triples.parquet'",
+        "kg_union_expansion": f"SELECT {triple_cols} FROM '{d}/kg_union_expansion.parquet'",
+        "kg_ner_re_replay": f"SELECT {triple_cols} FROM '{d}/kg_ner_re_replay.parquet'",
+        "kg_generation_replay": f"SELECT {triple_cols} FROM '{d}/kg_generation_replay.parquet'",
+        "kg_nodes_pipeline": f"""
+            SELECT canonical_name, CAST(n_aliases AS INT) AS n_aliases,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM '{d}/kg_nodes_pipeline.parquet'
+        """,
+        "kg_edges_pipeline": f"""
+            SELECT subj_name, obj_name, rel, CAST(n_docs AS BIGINT) AS n_docs
+            FROM '{d}/kg_edges_pipeline.parquet'
+        """,
+        "kg_pagerank": f"""
+            SELECT name, CAST(rank AS DOUBLE) AS rank
+            FROM '{d}/kg_pagerank.parquet'
+        """,
     }

@@ -59,14 +59,8 @@ def test_oracle_match(spark, duck, name):
 
 
 def test_every_query_listed_or_flagged():
+    # round 5: every queries() entry is value-gated — the former non-SQL
+    # pipeline queries now oracle against the committed plain-Python port
+    # fixtures (fixtures/port/, plans/port_fixtures.py)
     no_oracle = set(QUERIES) - set(ORACLES)
-    # only the documented non-SQL-expressible ops may lack an oracle
-    assert no_oracle <= {
-        "kg_triples",
-        "kg_nodes_pipeline",
-        "kg_edges_pipeline",
-        "kg_pagerank",
-        "kg_ner_re_replay",
-        "kg_generation_replay",
-        "kg_union_expansion",
-    }, no_oracle
+    assert no_oracle == set(), no_oracle
