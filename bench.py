@@ -77,6 +77,8 @@ HEADLINE = [
     "exact_median",
     "width_normalize",
     "snapshot_diff",
+    "image_resize",
+    "weighted_sample",
 ]
 
 

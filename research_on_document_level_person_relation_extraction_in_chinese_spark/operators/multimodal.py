@@ -1,12 +1,16 @@
 """Multimodal column plumbing (driver mandate).
 
 Image/audio/video ride as opaque ``binary`` columns + typed metadata structs;
-decode / feature-extract run as Arrow-batched ``mapInPandas`` stages. The
-actual codec step is STUBBED (pillow/librosa/av are not in this container):
-``decode_image`` raises ``NotImplementedError`` unless a decoder is
-registered, and ``fake_feature_extract`` is the deterministic test double
-(byte histogram + length) that keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — real and tested.
+decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
+
+Codecs: uncompressed formats are decoded for REAL by the pure-Python
+codecs below — BMP (24-bit BI_RGB, bottom-up, 4-byte row padding) and PPM
+(binary P6) — ``decode_image`` sniffs the magic bytes and dispatches.
+Compressed formats (JPEG/PNG/…) still need a registered decoder
+(pillow/librosa/av are not in this container): for those ``decode_image``
+raises ``NotImplementedError`` unless one is registered via
+``register_decoder``. ``fake_feature_extract`` remains the deterministic
+test double (byte histogram + length) for opaque payloads.
 """
 
 from __future__ import annotations
@@ -31,13 +35,104 @@ def register_decoder(media_type: str, fn: Callable[[bytes, dict], np.ndarray]) -
     _DECODERS[media_type] = fn
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Pure-Python 24-bit BMP (BI_RGB) encoder: ``arr`` is (H, W, 3) uint8
+    RGB top-down; emits the standard bottom-up BGR layout with rows padded
+    to 4-byte multiples. Round-trips bit-exactly through ``decode_bmp``."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_bmp wants (H, W, 3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    pad = (-3 * w) % 4
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    size = 54 + len(rows)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + rows
+
+
+def decode_bmp(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Pure-Python BMP decoder for the uncompressed 24-bit BI_RGB flavor
+    (what ``encode_bmp`` and every basic exporter writes): honors the pixel
+    offset, negative-height (top-down) files, and 4-byte row padding.
+    Returns (H, W, 3) uint8 RGB, rows top-down."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header size {hdr_size} unsupported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = 3 * w + ((-3 * w) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255): (H, W, 3) uint8 RGB top-down."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Binary PPM (P6) decoder — whitespace/comment-tolerant header scan."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} unsupported")
+    return np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos).reshape(h, w, 3)
+
+
 def decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """Real decode hook — STUB: no image codec in this container."""
+    """Real decode: BMP and P6-PPM are decoded in pure Python (above);
+    anything else dispatches to a registered codec or raises."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload, meta)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload, meta)
     if "image" in _DECODERS:
         return _DECODERS["image"](payload, meta)
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. pillow); register one "
-        "with register_decoder('image', fn)"
+        "compressed image decoding requires a codec library (e.g. pillow); "
+        "register one with register_decoder('image', fn)"
     )
 
 

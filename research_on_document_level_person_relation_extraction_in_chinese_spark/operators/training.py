@@ -330,3 +330,58 @@ def pack_sequences(
         .withColumn("pos_in_seq", F.col("start_offset") % budget)
         .drop("_shard", "_off")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight,
+    key: str,
+    k: int,
+    seed: str = "31",
+) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): each row gets priority q = w / u with
+    u a deterministic uniform in (0, 1] derived from md5(key:seed); the
+    sample is the k rows of highest priority, and every sampled row carries
+    the unbiased subset-sum estimator weight est_w = max(w, tau) where tau
+    is the (k+1)-th highest priority. Sum(est_w) over the sample is an
+    unbiased estimate of sum(w) over the corpus — the quality-weighted
+    doc-sampling primitive a training-data pipeline needs ("sample 1B docs
+    proportional to quality score, keep reweighting exact").
+
+    Determinism & oracle parity: u = (h+1)/2^32 with h the first 8 md5 hex
+    digits (exact in IEEE — division by a power of two), the threshold
+    t = u / w is ONE correctly-rounded division, and tau = 1/t_(k+1) + a
+    GREATEST — every double is bit-identical between Spark and DuckDB, so
+    the driver's value hash needs no rounding at all.
+
+    Scale shape: the top-(k+1) is a TakeOrdered (per-partition heaps + one
+    k-sized merge at the driver — NO global sort, NO shuffle of the corpus);
+    tau is a scalar off a bounded (k+1)-row frame (centroid-collect
+    discipline). Rows with NULL key or non-positive weight are excluded by
+    documented contract (they have no defined priority)."""
+    w = weight.cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    thr = ((h + F.lit(1.0)) / F.lit(4294967296.0)) / w
+    scored = (
+        df.where(F.col(key).isNotNull())
+        .select(F.col(key), w.alias("w"), thr.alias("_thr"))
+        .where(F.col("w") > 0)
+    )
+    top = scored.orderBy("_thr", key).limit(k + 1)
+    fence = top.agg(F.count("*").alias("n"), F.max("_thr").alias("t")).first()
+    if int(fence["n"]) <= k:
+        # fewer than k+1 rows: whole corpus is the sample, est_w = w exactly
+        return scored.select(key, "w", F.col("w").alias("est_w"))
+    tau = 1.0 / float(fence["t"])
+    return (
+        scored.orderBy("_thr", key)
+        .limit(k)
+        .select(key, "w", F.greatest("w", F.lit(tau)).alias("est_w"))
+    )
