@@ -8,7 +8,13 @@ ids) and pipeline counters (extraction/link/classify metrics).
 
 On a production cluster these writes become Iceberg ``writeTo(...)`` calls —
 the manifest maps 1:1 onto Iceberg snapshot summary properties; parquet keeps
-the sandbox dependency-free. Tables are written repartitioned by
+the sandbox dependency-free. Each ``write_stage`` commits a NEW snapshot
+(own ``snap-<id>`` data dir + an entry in the per-stage snapshot log, then
+the current-manifest pointer flips — Iceberg's metadata-commit order, so a
+crash mid-commit never corrupts the readable table). ``read_stage(...,
+as_of=...)`` time-travels, ``rollback`` is a metadata flip, and
+``expire_snapshots`` is the data-GC maintenance job. Tables are written
+repartitioned by
 ``hash(url)`` so downstream url-keyed joins reuse the layout, and resume is
 per-partition: an interrupted run anti-joins already-processed urls
 (``resume_filter``) exactly like the reference's incremental CSV flush
@@ -39,9 +45,27 @@ class StageCatalog:
         return os.path.join(self.root, f"{name}.manifest.json")
 
     def has_stage(self, name: str) -> bool:
-        return os.path.exists(self._manifest_path(name)) and os.path.exists(
-            os.path.join(self._path(name), "_SUCCESS")
-        )
+        if not os.path.exists(self._manifest_path(name)):
+            return False
+        return os.path.exists(os.path.join(self._data_dir(name), "_SUCCESS"))
+
+    def _data_dir(self, name: str, as_of: str | None = None) -> str:
+        """Resolve a stage's data directory: the requested snapshot from the
+        chain, else the CURRENT manifest's dir, else the flat legacy/partial
+        path (append_partial writes there before any manifest exists)."""
+        if as_of is not None:
+            for snap in self.snapshots(name):
+                if snap["snapshot_id"] == as_of:
+                    if not os.path.exists(snap["data_dir"]):
+                        raise KeyError(
+                            f"snapshot {as_of!r} of stage {name!r} has been expired"
+                        )
+                    return snap["data_dir"]
+            raise KeyError(f"stage {name!r} has no snapshot {as_of!r}")
+        try:
+            return self.manifest(name).get("data_dir") or self._path(name)
+        except FileNotFoundError:
+            return self._path(name)
 
     def write_stage(
         self,
@@ -67,14 +91,16 @@ class StageCatalog:
         spark = df.sparkSession
         n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
         schema_json = df.schema.jsonValue()  # logical schema, sans _bucket
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self._path(name), f"snap-{snapshot_id}")
         if bucket_col and bucket_col in df.columns:
             df = df.withColumn(
                 "_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))
             )
             df = df.repartition(n_buckets, F.col("_bucket"))
-            df.write.mode("overwrite").partitionBy("_bucket").parquet(self._path(name))
+            df.write.mode("overwrite").partitionBy("_bucket").parquet(data_dir)
         else:
-            df.write.mode("overwrite").parquet(self._path(name))
+            df.write.mode("overwrite").parquet(data_dir)
 
         return self._write_manifest(
             name,
@@ -83,7 +109,12 @@ class StageCatalog:
             schema_json=schema_json,
             bucket_col=bucket_col,
             n_buckets=n_buckets,
+            snapshot_id=snapshot_id,
+            data_dir=data_dir,
         )
+
+    def _snapshot_log_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.snapshots.json")
 
     def _write_manifest(
         self,
@@ -94,8 +125,10 @@ class StageCatalog:
         schema_json: dict,
         bucket_col: str | None,
         n_buckets: int,
+        snapshot_id: str | None = None,
+        data_dir: str | None = None,
     ) -> str:
-        snapshot_id = uuid.uuid4().hex[:16]
+        snapshot_id = snapshot_id or uuid.uuid4().hex[:16]
         parents = {}
         for inp in inputs or []:
             try:
@@ -112,10 +145,63 @@ class StageCatalog:
             "schema": schema_json,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
+            "data_dir": data_dir or self._path(name),
         }
+        # append to the snapshot chain FIRST, then flip the current pointer
+        # (the manifest) — a crash between the two leaves the old current
+        # snapshot intact and the new one merely unreferenced (Iceberg's
+        # metadata-commit order)
+        log = self.snapshots(name)
+        log.append(manifest)
+        with open(self._snapshot_log_path(name), "w", encoding="utf-8") as f:
+            json.dump(log, f, ensure_ascii=False, indent=1)
         with open(self._manifest_path(name), "w", encoding="utf-8") as f:
             json.dump(manifest, f, ensure_ascii=False, indent=1)
         return snapshot_id
+
+    def snapshots(self, name: str) -> list[dict]:
+        """The stage's snapshot chain, oldest first (Iceberg snapshot log)."""
+        try:
+            with open(self._snapshot_log_path(name), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def rollback(self, name: str, snapshot_id: str) -> None:
+        """Point the stage's CURRENT manifest back at an older snapshot (the
+        Iceberg ``rollback_to_snapshot`` procedure): pure metadata flip, the
+        data dirs never move. The rollback itself is appended to the chain
+        so lineage records that it happened."""
+        for snap in self.snapshots(name):
+            if snap["snapshot_id"] == snapshot_id:
+                with open(self._manifest_path(name), "w", encoding="utf-8") as f:
+                    json.dump(snap, f, ensure_ascii=False, indent=1)
+                return
+        raise KeyError(f"stage {name!r} has no snapshot {snapshot_id!r}")
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[str]:
+        """Drop the data of all but the newest ``keep_last`` snapshots (and
+        never the CURRENT one, even if it is older — e.g. after a rollback):
+        Iceberg's ``expire_snapshots`` maintenance job. Returns the expired
+        snapshot ids; time-travel to them afterwards raises."""
+        import shutil
+
+        log = self.snapshots(name)
+        current = self.manifest(name)["snapshot_id"] if log else None
+        keep_ids = {s["snapshot_id"] for s in log[-keep_last:]} | {current}
+        expired = []
+        kept = []
+        for snap in log:
+            sid = snap["snapshot_id"]
+            if sid in keep_ids:
+                kept.append(snap)
+                continue
+            if snap["data_dir"] != self._path(name):
+                shutil.rmtree(snap["data_dir"], ignore_errors=True)
+            expired.append(sid)
+        with open(self._snapshot_log_path(name), "w", encoding="utf-8") as f:
+            json.dump(kept, f, ensure_ascii=False, indent=1)
+        return expired
 
     def append_partial(self, df: DataFrame, name: str) -> None:
         """Incremental, KILL-SAFE flush into an un-finalized stage table:
@@ -154,12 +240,15 @@ class StageCatalog:
         name: str,
         bucket: int | None = None,
         keep_bucket: bool = False,
+        as_of: str | None = None,
     ) -> DataFrame:
         """Read a stage table. ``bucket=k`` filters on the ``_bucket``
         partition column — a directory-pruned scan (only that bucket's files
         are listed/read); the synthetic ``_bucket`` column is dropped unless
-        ``keep_bucket`` so consumers see the logical stage schema."""
-        df = spark.read.parquet(self._path(name))
+        ``keep_bucket`` so consumers see the logical stage schema.
+        ``as_of=<snapshot_id>`` time-travels to an older snapshot in the
+        chain (Iceberg ``VERSION AS OF``)."""
+        df = spark.read.parquet(self._data_dir(name, as_of))
         if bucket is not None:
             df = df.where(F.col("_bucket") == bucket)
         if "_bucket" in df.columns and not keep_bucket:
@@ -189,7 +278,7 @@ def resume_filter(df: DataFrame, catalog: StageCatalog, stage: str, key: str = "
     """Document-level resume: drop rows whose ``key`` already exists in a
     (possibly partial) prior output of ``stage`` — a distributed anti-join,
     never a driver-side set."""
-    path = catalog._path(stage)
+    path = catalog._data_dir(stage)
     spark = df.sparkSession
     if not os.path.exists(path):
         return df

@@ -58,6 +58,18 @@ def _prepare_child(n_docs: int, out_dir: str, partitions: int, lsh_docs: int, ls
 
 
 def _run_child(cores: int, corpus_dir: str, lsh_dir: str, jobs: tuple[str, ...] = ("kg", "lsh")) -> dict:
+    # Pin the whole child tree (JVM task threads + forked python workers
+    # inherit the mask) to exactly ``cores`` physical CPUs. Without this,
+    # local[N] only bounds CONCURRENT TASKS at N while the JVM thread and
+    # each task's python-worker process run on different cores — so on an
+    # idle host a "2-core" scorer-heavy run overlaps JVM+Python across ~2N
+    # cores and its throughput overstates a real 2-core executor's, which
+    # then reads as scaling loss at 4N (observed: quiet-window N runs sped
+    # up 95→77 s while 4N held, efficiency 0.773→0.588). Real cluster
+    # executors are cgroup-bound to their core count; pinning is the honest
+    # emulation of "cluster size N". SCALING_PIN=0 opts out.
+    if os.environ.get("SCALING_PIN", "1") != "0" and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(cores)))
     from research_on_document_level_person_relation_extraction_in_chinese_spark import get_spark
     from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
         minhash_lsh_pairs,

@@ -69,6 +69,65 @@ def test_stream_equals_batch_across_microbatches(spark, tmp_path):
     assert 5 not in by_click and 7 not in by_click
 
 
+def test_midstream_stop_recovers_join_state(spark, tmp_path):
+    """Interrupt the RUNNING continuous query mid-stream — after it has
+    emitted one pair but while unmatched views (view 1 with a click still
+    to come, view 3 with no click seen at all) sit in the join's buffered
+    state — then restart from the checkpoint. The restarted drain must
+    (a) not re-emit the committed attribution (no duplicates), and
+    (b) pair post-restart clicks with the PRE-stop views, which only works
+    if the interval-join state survived the interruption."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.streaming.events import (
+        EVENTS_SCHEMA,
+    )
+
+    # phase 1: view 1, its first click, and the never-yet-clicked view 3
+    _write_chunks(spark, in_dir, [[EVENTS[0]], [EVENTS[1]], [EVENTS[2]]])
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pairs = attribute_clicks(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+    )
+    query = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    try:
+        # wait for the first attribution to commit, then interrupt while
+        # views 1 and 3 are still live in the join state
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= 1:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.2)
+    finally:
+        query.stop()
+    interrupted = _pairs(spark, out_dir)
+    assert {r[2] for r in interrupted} >= {2}
+
+    # phase 2: the remaining events arrive only AFTER the restart; click 4
+    # must join pre-stop view 1, click 6 must join pre-stop view 3
+    _write_chunks(spark, in_dir, [EVENTS[3:]])
+    stream_click_attribution(spark, in_dir, out_dir, ckpt)
+    final = _pairs(spark, out_dir)
+    assert len(final) == len(set(final)) == 3
+    assert {r[2] for r in final} == {2, 4, 6}
+    by_click = {r[2]: r for r in final}
+    assert by_click[4][1] == 1 and by_click[6][1] == 3  # pre-stop views
+
+
 def test_restart_resumes_exactly_once(spark, tmp_path):
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     _write_chunks(spark, in_dir, [EVENTS[:4]])
