@@ -209,16 +209,25 @@ def _burn_chunk(n: int) -> int:
     return x
 
 
+def _pin_init(cores: int) -> None:
+    """Pin a burn worker to the SAME core subset the Spark child of that
+    level is pinned to — the ceiling probe must measure the contention the
+    measured run actually experiences, not whole-host capability."""
+    if os.environ.get("SCALING_PIN", "1") != "0" and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(cores)))
+
+
 def burn(procs: int, total_iters: int = 120_000_000) -> float:
     """Host-ceiling probe: fixed TOTAL pure-CPU work split over ``procs``
-    Python processes. The 1-vs-4-proc time ratio is the best parallel
-    efficiency this host can physically deliver AT THAT MOMENT (tenant load
-    included) — the normalizer for the Spark numbers."""
+    Python processes (pinned to the level's core subset, like the Spark
+    child). The 1-vs-4-proc time ratio is the best parallel efficiency this
+    host can physically deliver AT THAT MOMENT (tenant load included) — the
+    normalizer for the Spark numbers."""
     import multiprocessing as mp
 
     chunk = total_iters // procs
     t0 = time.perf_counter()
-    with mp.Pool(procs) as pool:
+    with mp.Pool(procs, initializer=_pin_init, initargs=(procs,)) as pool:
         pool.map(_burn_chunk, [chunk] * procs)
     return time.perf_counter() - t0
 
