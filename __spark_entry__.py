@@ -1471,6 +1471,56 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """General URL canonicalization (functions/urls.py): each doc gets a
+    DECORATED messy url (upper-case host, :80, fragment, shuffled params,
+    gclid + utm_ tracking params, an empty param) and the canonicalizer —
+    one map-only JVM expression chain — must collapse it; the oracle states
+    the expected canonical CLOSED-FORM from (doc_id, source), so Spark's
+    regex/HOF pipeline is verified end-to-end, not replayed."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    messy = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:80/path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&b="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&gclid=xyz#frag"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(messy).alias("canonical_url"),
+        url_host(messy).alias("host"),
+    )
+
+
+def q_grouped_median(spark, sf_dir):
+    """Per-group EXACT median without any per-group sort
+    (operators/quantiles.py:grouped_exact_median): all 50 supplier groups
+    narrow SIMULTANEOUSLY — the whole narrowing state is a DataFrame, one
+    histogram scan per round advances every group, take_threshold=64 forces
+    the rounds to actually run at every test SF. Oracle: DuckDB row_number
+    middle-order-statistics per group (the exact_median contract)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.quantiles import (
+        grouped_exact_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 50).alias("grp"), "l_extendedprice"
+    )
+    return grouped_exact_median(
+        li, "grp", "l_extendedprice", buckets=64, take_threshold=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-verification rotation: the driver's
     correctness battery samples the FIRST 50 entries (observed cap,
@@ -1505,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A': new this round ---
         "image_resize": q_image_resize,
         "weighted_sample": q_weighted_sample,
+        "url_canonicalize": q_url_canonicalize,
+        "grouped_median": q_grouped_median,
         # --- tier B: r3 driver row only (rotated out of the r4 sample) ---
         "gopher_quality": q_gopher_quality,
         "dedup_groups": q_dedup_groups,
@@ -3254,6 +3306,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, w, GREATEST(w, (SELECT tau FROM tau)) AS est_w
             FROM t ORDER BY thr, doc_id LIMIT 100
+        """,
+        # url_canonicalize: CLOSED-FORM expected canonical from (doc_id,
+        # source) — the oracle never runs a canonicalizer, so a hash match
+        # verifies the whole regex/HOF pipeline (case fold, port strip,
+        # fragment drop, tracking-param filter, param sort) end-to-end.
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://www.' || lower(source) || '.example.com/path/'
+                     || CAST(doc_id AS VARCHAR)
+                     || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+                     || '&b=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url,
+                   'www.' || lower(source) || '.example.com' AS host
+            FROM documents
+            WHERE doc_id < 200
+        """,
+        # grouped_median: per-group middle order statistics via row_number —
+        # same value contract as exact_median, one row per group.
+        "grouped_median": """
+            WITH r AS (
+                SELECT l_suppkey % 50 AS grp,
+                       CAST(l_extendedprice AS DOUBLE) AS x,
+                       row_number() OVER (
+                           PARTITION BY l_suppkey % 50
+                           ORDER BY CAST(l_extendedprice AS DOUBLE)
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_suppkey % 50) AS n
+                FROM lineitem
+            )
+            SELECT grp, MAX(n) AS n,
+                   ROUND(SUM(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN x END)
+                         / COUNT(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN x END),
+                         4) AS median
+            FROM r GROUP BY grp
         """,
         # kg_triples / kg_nodes_pipeline / kg_edges_pipeline / kg_pagerank /
         # kg_ner_re_replay / kg_generation_replay / kg_union_expansion:

@@ -79,6 +79,8 @@ HEADLINE = [
     "snapshot_diff",
     "image_resize",
     "weighted_sample",
+    "url_canonicalize",
+    "grouped_median",
 ]
 
 

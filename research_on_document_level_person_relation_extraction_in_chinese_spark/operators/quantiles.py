@@ -174,3 +174,143 @@ def exact_median(
     return df.sparkSession.createDataFrame(
         [(n, round(med, 4))], "n bigint, median double"
     )
+
+
+def grouped_exact_median(
+    df: DataFrame,
+    key: str,
+    col: str,
+    buckets: int = 64,
+    take_threshold: int = 10_000,
+    max_rounds: int = 12,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """EXACT median PER GROUP — every group narrowed simultaneously, no
+    per-group sort, no driver-side per-group state.
+
+    The single-median narrowing (:func:`_kth_multi`) keeps (lo, hi, rank)
+    on the driver; that cannot scale to millions of groups. Here the whole
+    narrowing state lives in a DATAFRAME — one row per (group, middle-rank)
+    — and each round is: join the values to the state (broadcast when the
+    group count is modest — ``broadcast_state``; plain shuffle join
+    otherwise), one histogram aggregate partitioned by (group, rank), one
+    cumulative window over the ≤``buckets``-row-per-group histogram table,
+    and a metadata-only state update. ALL groups advance in every round, so the
+    total scan count is O(log_buckets(range)) regardless of group count —
+    the grouped-order-statistic shape a per-language / per-domain
+    median-quality job needs at 10^12 rows.
+
+    Rank bookkeeping avoids the boundary-drift trap: the target stays the
+    GLOBAL rank within the group, and the state carries count_below (values
+    strictly under the range's lo), updated from the histogram's own
+    cumulative counts — so a value equal to a bucket's upper bound leaking
+    into the next round's [lo, hi] membership can only pad the top of the
+    range with elements ≥ the target, which never shifts the (kg − cb)-th
+    smallest. Groups whose range collapses (lo == hi, duplicate-heavy) are
+    resolved as literals without collecting anything; surviving candidate
+    sets are bounded by ``take_threshold`` per group.
+
+    Returns one row per group: (key, n, median) with median = avg of the
+    two middle order statistics, rounded to 4 dp (the exact_median
+    contract)."""
+    from pyspark.sql.window import Window
+
+    vals = df.select(F.col(key).alias("k"), F.col(col).cast("double").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    vals = vals.persist()
+    try:
+        base = vals.groupBy("k").agg(
+            F.count("*").alias("n"), F.min("x").alias("lo"), F.max("x").alias("hi")
+        )
+        ranks = F.array(
+            F.struct(F.lit(1).alias("rid"), F.floor((F.col("n") + 1) / 2).cast("long").alias("kg")),
+            F.struct(F.lit(2).alias("rid"), F.floor((F.col("n") + 2) / 2).cast("long").alias("kg")),
+        )
+        state = (
+            base.select("k", "n", "lo", "hi", F.explode(ranks).alias("t"))
+            .select(
+                "k",
+                F.col("t.rid").alias("rid"),
+                F.col("t.kg").alias("kg"),
+                F.lit(0).cast("long").alias("cb"),
+                "lo",
+                "hi",
+                "n",
+            )
+            .localCheckpoint()
+        )
+        is_active = (F.col("n") > take_threshold) & (F.col("lo") < F.col("hi"))
+        for _ in range(max_rounds):
+            if state.where(is_active).isEmpty():
+                break
+            active = state.where(is_active)
+            finished = state.where(~is_active)
+            a = F.broadcast(active) if broadcast_state else active
+            width = (F.col("hi") - F.col("lo")) / buckets
+            bucket = F.greatest(
+                F.least(
+                    F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
+                    F.lit(buckets - 1),
+                ),
+                F.lit(0),
+            )
+            hist = (
+                vals.join(a, "k")
+                .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+                .groupBy("k", "rid", "kg", "cb", "lo", "hi", bucket.alias("b"))
+                .agg(F.count("*").alias("c"))
+            )
+            w = (
+                Window.partitionBy("k", "rid")
+                .orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cum = hist.withColumn("cum", F.sum("c").over(w))
+            sel = (
+                cum.where(F.col("cum") >= F.col("kg") - F.col("cb"))
+                .groupBy("k", "rid", "kg", "cb", "lo", "hi")
+                .agg(F.min(F.struct("b", "cum", "c")).alias("m"))
+            )
+            width2 = (F.col("hi") - F.col("lo")) / buckets
+            b = F.col("m.b")
+            nw = sel.select(
+                "k",
+                "rid",
+                "kg",
+                (F.col("cb") + F.col("m.cum") - F.col("m.c")).alias("cb"),
+                F.when(b > 0, F.col("lo") + b * width2).otherwise(F.col("lo")).alias("lo"),
+                F.when(b < buckets - 1, F.col("lo") + (b + 1) * width2)
+                .otherwise(F.col("hi"))
+                .alias("hi"),
+                F.col("m.c").alias("n"),
+            )
+            state = finished.unionByName(nw).localCheckpoint()
+
+        fin = F.broadcast(state) if broadcast_state else state
+        eq = state.where(F.col("lo") == F.col("hi")).select(
+            "k", "rid", F.col("lo").alias("v")
+        )
+        rest_state = fin.where(F.col("lo") < F.col("hi"))
+        rest = (
+            vals.join(rest_state, "k")
+            .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+            .groupBy("k", "rid", "kg", "cb")
+            .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+            .select(
+                "k",
+                "rid",
+                F.element_at("xs", (F.col("kg") - F.col("cb")).cast("int")).alias("v"),
+            )
+        )
+        meds = eq.unionByName(rest)
+        out = (
+            meds.groupBy("k")
+            .agg(F.round(F.sum("v") / 2.0, 4).alias("median"))
+            .join(base.select("k", "n"), "k")
+            .select(F.col("k").alias(key), "n", "median")
+        )
+        out = out.localCheckpoint()  # materialize before the persist ends
+    finally:
+        vals.unpersist()
+    return out
