@@ -310,11 +310,20 @@ def bloom_decontaminate(
             test = t if test is None else test & t
         return test
 
+    from .persistpool import persist_scan
+
     grams = word_ngrams(F.col(text_col), n)
-    base = train.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.size(F.filter(grams, _passes)).cast("long").alias("n_maybe"),
+    # the Bloom map pass (n-gram build + h md5 probes per gram) is the
+    # expensive part and the plan consumes ``base`` twice — as the left side
+    # of the final join AND (filtered) to feed the exact overlap join.
+    # Spark reuses exchanges, not scans, so without a persist the whole
+    # md5-heavy pass runs twice (guide §5; r6: 5.4 s → ~3 s measured).
+    base = persist_scan(
+        train.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.size(F.filter(grams, _passes)).cast("long").alias("n_maybe"),
+        )
     )
     flagged_grams = base.where(F.col("n_maybe") >= min_hits).select(
         F.col(id_col), F.explode(grams).alias("gram")

@@ -22,27 +22,17 @@ from pyspark.sql import functions as F
 
 HASH_MOD = 1_000_000_007
 
-#: bounded managed-persist pool for dedup scan tables (same pattern as
-#: plans/pipeline.py): minhash_lsh_pairs consumes its shingle+signature scan
-#: FIVE times (bucket self-join l/r, verify a/b, sizes) and
-#: ngram_jaccard_pairs its exploded-shingle scan up to six — Spark only
-#: reuses exchanges, not scans, so without a persist the shingle/md5/
-#: permutation compute repeats per consumer (measured: 5 back-to-back scan
-#: stages dominating the LSH job, 62.7 s → 31.4 s once cached). At most one
-#: call's blocks stay cached; the next call evicts them.
-_MANAGED_SCAN_PERSISTS: list[DataFrame] = []
-
-
-def _persist_scan(df: DataFrame) -> DataFrame:
-    while _MANAGED_SCAN_PERSISTS:
-        stale = _MANAGED_SCAN_PERSISTS.pop()
-        try:
-            stale.unpersist()
-        except Exception:
-            pass  # stale frame's session may already be stopped
-    p = df.persist()
-    _MANAGED_SCAN_PERSISTS.append(p)
-    return p
+#: bounded managed-persist pool for dedup scan tables (now shared repo-wide
+#: via operators/persistpool.py, same one-slot-per-call contract):
+#: minhash_lsh_pairs consumes its shingle+signature scan FIVE times (bucket
+#: self-join l/r, verify a/b, sizes) and ngram_jaccard_pairs its
+#: exploded-shingle scan up to six — Spark only reuses exchanges, not scans,
+#: so without a persist the shingle/md5/permutation compute repeats per
+#: consumer (measured: 5 back-to-back scan stages dominating the LSH job,
+#: 62.7 s → 31.4 s once cached). At most one call's blocks stay cached; the
+#: next call evicts them.
+from .persistpool import persist_extra as _persist_extra  # noqa: E402
+from .persistpool import persist_scan as _persist_scan  # noqa: E402
 
 
 #: (a, b) parameters of the k minhash permutations h_i(x) = (a*x + b) mod P.
@@ -292,16 +282,29 @@ def _prefix_filtered_counts(sh: DataFrame, threshold: float) -> DataFrame:
     width is bounded by two per-doc arrays, never per-corpus state."""
     from pyspark.sql.window import Window
 
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    from .persistpool import persist_extra
+
+    # r6 shape: ONE windowed pass computes both the per-doc rank and the
+    # per-doc size (two window functions over the SAME id partitioning — one
+    # exchange, no separate sizes groupBy + join), and the windowed frame is
+    # managed-persisted so the per-doc set table derives from it WITHOUT a
+    # new shuffle (its cached partitioning is already hashpartitioning(id)).
+    # r5 paid: sizes groupBy (shuffle) + sizes join + a separate doc_sets
+    # groupBy shuffle over the raw shingle table. Values unchanged —
+    # count(*) over (id) equals the old sizes count, and only
+    # size(array_intersect) of the collected sets is consumed downstream.
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "sh")
-    prefix = (
+    w_rank = Window.partitionBy("id").orderBy("df", "sh")
+    w_size = Window.partitionBy("id")
+    ranked = persist_extra(
         sh.join(freq, "sh")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "id")
-        .where(F.col("_rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1)
-        .select("blk", "id", "sh")
+        .select("blk", "id", "sh", "df")
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count("*").over(w_size))
     )
+    prefix = ranked.where(
+        F.col("_rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1
+    ).select("blk", "id", "sh")
     pa, pb = prefix.alias("a"), prefix.alias("b")
     cand = (
         pa.join(pb, on=["blk", "sh"])
@@ -309,7 +312,7 @@ def _prefix_filtered_counts(sh: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    doc_sets = sh.groupBy("id").agg(
+    doc_sets = ranked.groupBy("id").agg(
         F.collect_list("sh").alias("shs"), F.count("*").alias("n_sh")
     )
     return (

@@ -77,11 +77,17 @@ def dsir_scores(
     Output: (id, n_feats, dsir_score, kept) — score = Σ_features
     log((tgt_b+1)/(tgt_total+B)) − log((raw_b+1)/(raw_total+B)), rounded to
     6 dp; kept = 1 iff the rounded score > 0."""
+    from .persistpool import persist_scan
+
     fb = docs.select(
         F.col(id_col),
         feature_buckets(F.col(text_col), n_buckets).alias("fb"),
         target.cast("int").alias("_tgt"),
     )
+    # the md5-heavy feature pass is consumed twice (distribution aggregate
+    # collect + final scoring projection) — managed persist so the hash work
+    # runs once, not once per consumer (guide §5; r6: 3.3 s → ~2 s)
+    fb = persist_scan(fb)
     # one aggregate for BOTH distributions; ≤ n_buckets result rows
     cnt = (
         fb.select(F.explode("fb").alias("b"), "_tgt")

@@ -149,9 +149,14 @@ def make_expand_udf(scorer: str = "deterministic", sources: tuple[str, ...] = ("
 
     @pandas_udf(dt)
     def expand_udf(text: pd.Series, g_trad: pd.Series, p_trad: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            [_expand_one(mod, t, g, p, sources) for t, g, p in zip(text, g_trad, p_trad)]
-        )
+        # column-major construction (same values, no per-row dict alignment)
+        field_names = dt.fieldNames()
+        cols: dict[str, list] = {f: [] for f in field_names}
+        for t, g, p in zip(text.tolist(), g_trad.tolist(), p_trad.tolist()):
+            row = _expand_one(mod, t, g, p, sources)
+            for f in field_names:
+                cols[f].append(row[f])
+        return pd.DataFrame(cols)
 
     return expand_udf, dt
 

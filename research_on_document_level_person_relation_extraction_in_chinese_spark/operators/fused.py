@@ -66,21 +66,26 @@ def make_annotate_parse_udf(
 
     @pandas_udf(_annotate_parse_dt(annotators))
     def annotate_parse_udf(text: pd.Series) -> pd.DataFrame:
-        rows = []
-        for t in text:
-            row = {}
+        # column-major construction: per-column lists → pd.DataFrame(dict)
+        # skips pandas' per-row dict alignment (measured ~25% of node time
+        # on 4096-doc batches; identical output)
+        cols: dict[str, list] = {
+            f"{ann}_{part}": []
+            for ann in annotators
+            for part in ("has_relation", "output", "attempts", "parsed")
+        }
+        for t in text.tolist():
             for ann in annotators:
                 if with_attempts is not None:
                     status, output, attempts = with_attempts(t, ann)
                 else:
                     status, output = mod.score_detect(t, ann)
                     attempts = 1
-                row[f"{ann}_has_relation"] = status
-                row[f"{ann}_output"] = output
-                row[f"{ann}_attempts"] = attempts
-                row[f"{ann}_parsed"] = _parse_cell(output, status, tolerant)
-            rows.append(row)
-        return pd.DataFrame(rows)
+                cols[f"{ann}_has_relation"].append(status)
+                cols[f"{ann}_output"].append(output)
+                cols[f"{ann}_attempts"].append(attempts)
+                cols[f"{ann}_parsed"].append(_parse_cell(output, status, tolerant))
+        return pd.DataFrame(cols)
 
     return annotate_parse_udf
 
@@ -146,11 +151,17 @@ def make_consensus_udf(
 
     @pandas_udf(_consensus_dt(annotators))
     def consensus_udf(text: pd.Series, terns: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for i, t in enumerate(text):
-            trad = {ann: _trad(terns[ann].iloc[i]) for ann in annotators}
+        # column-major output + .tolist() input access (no per-row .iloc) —
+        # same values, less pandas indexing overhead per batch
+        tern_lists = {ann: terns[ann].tolist() for ann in annotators}
+        cols: dict[str, list] = {
+            f"{ann}_{part}": []
+            for ann in annotators
+            for part in ("ternary_trad", "checked", "not_pass", "verify_error")
+        }
+        for i, t in enumerate(text.tolist()):
+            trad = {ann: _trad(tern_lists[ann][i]) for ann in annotators}
             sets = {ann: set(v) for ann, v in trad.items()}
-            row = {}
             for ann in annotators:
                 mine = trad[ann]
                 theirs: set = set()
@@ -168,12 +179,11 @@ def make_consensus_udf(
                     else:
                         passed = [w for w, ok in zip(wrong, verdicts) if ok]
                         failed = [w for w, ok in zip(wrong, verdicts) if not ok]
-                row[f"{ann}_ternary_trad"] = _as_dicts(mine)
-                row[f"{ann}_checked"] = _as_dicts(correct + passed)
-                row[f"{ann}_not_pass"] = _as_dicts(failed)
-                row[f"{ann}_verify_error"] = err
-            rows.append(row)
-        return pd.DataFrame(rows)
+                cols[f"{ann}_ternary_trad"].append(_as_dicts(mine))
+                cols[f"{ann}_checked"].append(_as_dicts(correct + passed))
+                cols[f"{ann}_not_pass"].append(_as_dicts(failed))
+                cols[f"{ann}_verify_error"].append(err)
+        return pd.DataFrame(cols)
 
     return consensus_udf
 

@@ -78,6 +78,20 @@ def train_char_bigram_lm(
     return lnp, lnden, math.log(v)
 
 
+def _index_map_literal(chars: list[str]) -> Column:
+    """char → 1-based index as ONE small map literal (SQL text, single py4j
+    call; the probe is linear in |vocab|, which is why the scoring values
+    live in dense arrays, not maps)."""
+    if not chars:
+        return F.expr("map()")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    entries = ",".join(f"{q(c)},{i + 1}" for i, c in enumerate(chars))
+    return F.expr(f"map({entries})")
+
+
 def _map_literal(d: dict[str, float]) -> Column:
     """dict → ONE map literal via SQL text (single py4j call; repr() emits
     round-trip-exact doubles). Keys are quoted as SQL strings."""
@@ -104,16 +118,58 @@ def lm_perplexity(
     rounded to 4 dp; docs shorter than one bigram are excluded (undefined
     perplexity)."""
     lnp, lnden, lnv = train_char_bigram_lm(reference, text_col, max_model_size)
-    pmap = _map_literal(lnp)
-    dmap = _map_literal(lnden)
 
-    def step(acc: Column, bg: Column) -> Column:
-        fallback = -F.coalesce(
-            F.element_at(dmap, bg["a"]), F.lit(lnv)
-        )
-        return acc + F.coalesce(
-            F.element_at(pmap, F.concat(bg["a"], bg["b"])), fallback
-        )
+    # Scoring lookup (r6): Spark evaluates ``element_at`` on a MAP literal by
+    # LINEAR key scan (ArrayBasedMapData has no hash index), so the r5 shape
+    # paid O(|model|) string compares per bigram — the dominant cost of the
+    # scoring pass. With single-char vocab (the normal case) the same doubles
+    # are instead laid out in a dense (context × next-char) array literal:
+    # two SMALL char→index map probes (O(|vocab|) ≪ O(|vocab|²)) + one O(1)
+    # array index. Values are bit-identical: the flat array stores exactly
+    # lnp[a+b] where seen and −lnden[a] otherwise, and −lnv for unseen
+    # contexts — the identical IEEE doubles the map path produced, added in
+    # the identical text-order fold.
+    single_char = bool(lnden) and all(len(a) == 1 for a in lnden) and all(
+        len(k) == 2 for k in lnp
+    )
+    if single_char:
+        ctx_chars = sorted(lnden)
+        b_chars = sorted({k[1] for k in lnp}) or ctx_chars
+        nb = len(b_chars)
+        flat = [
+            lnp.get(a + bch, -lnden[a]) for a in ctx_chars for bch in b_chars
+        ]
+        den_neg = [-lnden[a] for a in ctx_chars]
+        flat_lit = F.expr("array(" + ",".join(f"{v!r}D" for v in flat) + ")")
+        den_lit = F.expr("array(" + ",".join(f"{v!r}D" for v in den_neg) + ")")
+        ctx_map = _index_map_literal(ctx_chars)
+        b_map = _index_map_literal(b_chars)
+
+        def step(acc: Column, bg: Column) -> Column:
+            # explicit when-branches keep every element_at index NON-NULL —
+            # a null-index element_at inside coalesce miscompiles under the
+            # ANSI null-propagation rewrite (folded the whole coalesce to
+            # null; observed on 4.1.2)
+            ia = F.element_at(ctx_map, bg["a"])
+            ib = F.element_at(b_map, bg["b"])
+            val = (
+                F.when(ia.isNull(), F.lit(-lnv))
+                .when(ib.isNull(), F.element_at(den_lit, ia))
+                .otherwise(F.element_at(flat_lit, (ia - 1) * nb + ib))
+            )
+            return acc + val
+
+    else:  # degenerate vocab (empty/multi-code-unit chars): map-literal path
+        pmap = _map_literal(lnp)
+        dmap = _map_literal(lnden)
+
+        def step(acc: Column, bg: Column) -> Column:
+            fallback = -F.coalesce(
+                F.element_at(dmap, bg["a"]), F.lit(lnv)
+            )
+            return acc + F.coalesce(
+                F.element_at(pmap, F.concat(bg["a"], bg["b"])), fallback
+            )
 
     bgs = char_bigrams(F.col(text_col))
     return (

@@ -59,19 +59,29 @@ def bm25_topk(
     Documents matching no query term are excluded (score 0 by definition)."""
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
+    from .persistpool import persist_scan
+
     ws = _words(F.col(text_col))
-    stats_row = (
+    # ONE tokenization pass (r6): the per-doc (dl, tf_i) frame is computed
+    # once and managed-persisted; the stats aggregate AND the scoring
+    # projection both read it — the r5 shape split+filtered the text twice
+    # (stats scan + score scan). df_i = Σ(tf_i > 0) is value-identical to
+    # summing the per-doc flags.
+    scored = persist_scan(
         docs.select(
+            F.col(id_col),
             F.size(ws).alias("dl"),
-            *[(_tf(ws, t) > 0).cast("long").alias(f"df{i}") for i, t in enumerate(query_terms)],
+            *[_tf(ws, t).cast("double").alias(f"tf{i}") for i, t in enumerate(query_terms)],
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("dl").alias("tl"),
-            *[F.sum(f"df{i}").alias(f"df{i}") for i in range(len(query_terms))],
-        )
-        .first()
     )
+    stats_row = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).first()
     n = int(stats_row["n"])
     if n == 0:
         raise ValueError("bm25_topk over an empty corpus")
@@ -80,11 +90,6 @@ def bm25_topk(
         math.log(1.0 + (n - int(stats_row[f"df{i}"]) + 0.5) / (int(stats_row[f"df{i}"]) + 0.5))
         for i in range(len(query_terms))
     ]
-    scored = docs.select(
-        F.col(id_col),
-        F.size(ws).alias("dl"),
-        *[_tf(ws, t).cast("double").alias(f"tf{i}") for i, t in enumerate(query_terms)],
-    )
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     score = F.lit(0.0)
     hits = F.lit(0)

@@ -208,6 +208,11 @@ def banded_near_dup_pairs(
     """
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
+    # NOTE a managed persist of ``base`` was measured and rejected (r6 A/B:
+    # 1.97 s → 1.99 s, within noise): the candidate-join sides are narrow
+    # (id, bk_b) projections that prune the plane-dot work per band, and
+    # caching the array<double> column costs nested-row decode per consumer
+    # — the same finding as semdedup's rejected persist.
     base = banded_base(emb, n_planes, bands, seed, max_id, id_col, vec_col, dim)
     cand = banded_candidates(base, bands)
 
@@ -342,6 +347,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     dim: int | None = 64,
     decimals: int = 9,
+    census: bool = True,
 ) -> list[tuple[int, list[float], int]]:
     """Fixed-iteration Lloyd (spherical) k-means — the in-engine fit for the
     IVF centroid table (``ivf_centroids`` documents its seed rule as a
@@ -385,16 +391,21 @@ def kmeans_fit(
             )
             upd = {int(r["cluster"]): [float(x) for x in r["ds"]] for r in agg}
             cents = [(cid, upd.get(cid, cv)) for cid, cv in cents]
-        census = {
-            int(r["cluster"]): int(r["n"])
-            for r in ivf_assign(pts, cents, id_col, "e")
-            .groupBy("cluster")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        # census under the FITTED centroids (one more assign scan) — callers
+        # that only need the centroids (semdedup) skip it: census=False cuts
+        # a full assign+groupBy job whose output they never read
+        counts: dict[int, int] = {}
+        if census:
+            counts = {
+                int(r["cluster"]): int(r["n"])
+                for r in ivf_assign(pts, cents, id_col, "e")
+                .groupBy("cluster")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
     finally:
         pts.unpersist()
-    return [(cid, cv, census.get(cid, 0)) for cid, cv in cents]
+    return [(cid, cv, counts.get(cid, 0)) for cid, cv in cents]
 
 
 def kmeans_centroid_table(
@@ -492,7 +503,13 @@ def semdedup(
     ``ivf_assign``; the per-point max is a partial aggregate. A pathological
     hot cluster is capped by raising k — the same knob the paper tunes.
     """
-    fitted = kmeans_fit(emb, k, iters, id_col, vec_col, dim)
+    # census=False: the fit's final census job is dead work here (semdedup
+    # reads only the centroids). NOTE a persist of ``assigned`` was measured
+    # and REJECTED (r6 A/B: 4.4 s → 6.8 s): in-memory caching of the
+    # array<double> column makes every consumer pay nested-row decode and
+    # demotes the cluster self-join from AQE runtime broadcast to a shuffle
+    # join — recomputing the argmax fold from the parquet scan is cheaper.
+    fitted = kmeans_fit(emb, k, iters, id_col, vec_col, dim, census=False)
     cents = [(cid, cv) for cid, cv, _ in fitted]
     assigned = ivf_assign(emb, cents, id_col, vec_col).select(
         F.col(id_col).alias("vid"), "cluster", _to_double(F.col(vec_col)).alias("e")

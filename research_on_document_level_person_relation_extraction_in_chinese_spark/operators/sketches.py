@@ -90,12 +90,31 @@ def countmin_audit(
     """Exact top-``k`` tokens (ties to the lexicographically smaller token)
     with their CM estimates and the collision overcount — the value gate for
     the sketch (``overcount ≥ 0`` always; small width forces visible
-    collisions so the audit is non-trivial)."""
-    toks = _tokens(docs, text_col)
-    sketch = countmin_sketch(toks, d, width)
+    collisions so the audit is non-trivial).
+
+    Plan shape (r6): ONE scan of the corpus into the vocab-bounded
+    ``(token, cnt)`` word-count table (managed persist), from which the
+    sketch (Σcnt per probed cell — identical values to summing the raw
+    stream), the exact top-k, and the probe estimates all derive. The r5
+    shape scanned + exploded the corpus twice (sketch build AND exact
+    groupBy); a CM cell count is a sum over token multiplicities either way,
+    so folding via the per-token counts is value-identical and moves d×
+    less data through the sketch shuffle."""
+    from .persistpool import persist_scan
+
+    token_counts = persist_scan(
+        _tokens(docs, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    buckets = F.array(*[_bucket(F.col("token"), j, width) for j in range(d)])
+    sketch = (
+        token_counts.select(F.posexplode(buckets).alias("j", "bucket"), "_cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_cnt").alias("cnt"))
+    )
     top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("exact_count"))
+        token_counts.select("token", F.col("_cnt").alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("token"))
         .limit(k)
     )
@@ -181,18 +200,57 @@ def hll_distinct_audit(
     count → one row ``(n_registers, hll_estimate, n_exact, rel_err_pct)``.
     The exact side is the audit (like ``countmin_audit``); the sketch side
     is the 100-TB path — per-shard registers merged by max, never a
-    corpus-wide distinct shuffle."""
+    corpus-wide distinct shuffle.
+
+    Plan shape (r6): ONE scan → gram distinct → ONE register aggregate that
+    carries a per-bucket distinct count beside max(rho), so ``n_exact`` is
+    Σcnt over the ≤2^p register rows — no second corpus scan and no separate
+    count_distinct shuffle. Value-identical to the r5 shape: a register's
+    max-rho over the multiset equals its max-rho over the distinct set
+    (duplicate grams hash identically), and Σ per-bucket distinct counts IS
+    the distinct cardinality. md5 work drops from every occurrence to every
+    distinct gram."""
     from .curation import word_ngrams
 
-    grams = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-    est = hll_estimate(hll_registers(grams, "gram", p), p)
-    exact = grams.agg(F.count_distinct("gram").cast("long").alias("n_exact"))
-    return est.crossJoin(exact).select(
-        "n_registers",
-        "hll_estimate",
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    grams = (
+        docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    h = _hash60(F.col("gram"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    registers = (
+        grams.select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"), F.count("*").alias("_dc"))
+    )
+    k = w_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << k)
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rho)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+        F.sum("_dc").cast("long").alias("n_exact"),
+    )
+    s_int = F.coalesce(F.col("s_present"), F.lit(0)) + (
+        F.lit(m) - F.col("n_present")
+    ) * F.lit(1 << k)
+    v_zero = F.lit(m) - F.col("n_present")
+    e_raw = F.lit(alpha * m * m) * F.lit(scale) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("n_present").cast("long").alias("n_registers"),
+        F.round(est, 4).alias("hll_estimate"),
         "n_exact",
         F.round(
-            (F.col("hll_estimate") - F.col("n_exact"))
+            (F.round(est, 4) - F.col("n_exact"))
             / F.col("n_exact").cast("double")
             * 100.0,
             2,

@@ -374,14 +374,17 @@ def priority_sample(
         .select(F.col(key), w.alias("w"), thr.alias("_thr"))
         .where(F.col("w") > 0)
     )
-    top = scored.orderBy("_thr", key).limit(k + 1)
+    # ONE TakeOrdered corpus scan (r5 ran it twice — once for the fence, once
+    # for the sample): the ≤(k+1)-row top frame is localCheckpointed and both
+    # the fence scalar and the k-row sample derive from it (r5 verdict nit).
+    top = scored.orderBy("_thr", key).limit(k + 1).localCheckpoint()
     fence = top.agg(F.count("*").alias("n"), F.max("_thr").alias("t")).first()
     if int(fence["n"]) <= k:
         # fewer than k+1 rows: whole corpus is the sample, est_w = w exactly
-        return scored.select(key, "w", F.col("w").alias("est_w"))
+        return top.select(key, "w", F.col("w").alias("est_w"))
     tau = 1.0 / float(fence["t"])
     return (
-        scored.orderBy("_thr", key)
+        top.orderBy("_thr", key)
         .limit(k)
         .select(key, "w", F.greatest("w", F.lit(tau)).alias("est_w"))
     )
