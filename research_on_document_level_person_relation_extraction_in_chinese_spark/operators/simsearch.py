@@ -369,11 +369,37 @@ def kmeans_fit(
     driver state is the k×dim centroid table (bounded, like the taxonomy
     map); assignment is the same shuffle-free literal-fold as ``ivf_assign``
     so the points table is scanned iters+1 times and never re-keyed."""
-    dim = vector_dim(emb, vec_col, expected=dim)
     pts = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("e"))
     pts.persist()
     try:
-        cents = ivf_centroids(pts, k, id_col, "e")
+        # ONE job replaces the r5 pair (vector_dim aggregate + ivf_centroids
+        # collect): the dim guard's min/max sizes and the k-bounded seed
+        # vectors come out of the same aggregate — and it doubles as the
+        # cache-warming scan of ``pts``. Same validation errors, same seeds.
+        expected = dim
+        row = pts.agg(
+            F.min(F.size("e")).alias("lo"),
+            F.max(F.size("e")).alias("hi"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(id_col) < k,
+                        F.struct(
+                            F.col(id_col).cast("int").alias("cid"), F.col("e").alias("cv")
+                        ),
+                    )
+                )
+            ).alias("seeds"),
+        ).first()
+        if row is None or row["lo"] is None:
+            dim = expected if expected is not None else 0
+        else:
+            if row["lo"] != row["hi"]:
+                raise ValueError(f"ragged {vec_col!r} lengths: {row['lo']}..{row['hi']}")
+            if expected is not None and row["lo"] != expected:
+                raise ValueError(f"{vec_col!r} has dim {row['lo']}, expected {expected}")
+            dim = row["lo"]
+        cents = [(int(s["cid"]), [float(x) for x in s["cv"]]) for s in row["seeds"]]
         # the per-dimension means as ONE array-of-aggregates expression (a
         # single py4j call per iteration — dim individual Column objects cost
         # ~1.7 s of driver-side py4j chatter per iteration at any data size)

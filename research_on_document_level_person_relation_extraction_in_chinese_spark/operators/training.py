@@ -145,16 +145,32 @@ def hash_balanced_sample(
     # the documented contract — they would otherwise poison the driver-side
     # bucket map and silently never be sampled
     neg = df.where(~is_positive).where(F.col(key).isNotNull())
-    n_pos = pos.count()
 
     h = _md5_rank_hash(key, seed)
     bucketed = neg.withColumn("_h", h).withColumn(
         "_bk", F.shiftright(F.col("_h"), range_shift)
     )
-    counts = {
-        r["_bk"]: r["n"]
-        for r in bucketed.groupBy("_bk").agg(F.count("*").alias("n")).collect()
-    }
+    # ONE counting scan (r6): the positive count rides the negative bucket
+    # histogram as the sentinel group -1 (bucket ids are ≥ 0), instead of a
+    # separate pos.count() job — same n_pos, same per-bucket counts
+    grp = (
+        F.when(is_positive, F.lit(-1).cast("long"))
+        .when(F.col(key).isNotNull(), F.shiftright(_md5_rank_hash(key, seed), range_shift))
+    )
+    count_rows = (
+        df.select(grp.alias("_g"))
+        .where(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    n_pos = 0
+    counts = {}
+    for r in count_rows:
+        if r["_g"] == -1:
+            n_pos = r["n"]
+        else:
+            counts[r["_g"]] = r["n"]
     offsets, acc = {}, 0
     for bk in sorted(counts):
         offsets[bk] = acc

@@ -83,8 +83,19 @@ def expanded_frame(
     remapped = remap_relations(
         parsed, taxonomy, cols=tuple(f"{ann}_ternary" for ann in annotators)
     )
+    # r6: docs where EVERY annotator's ternary is empty/null provably yield
+    # an empty consensus_label (checked = correct+passed ⊆ mine = [] for all
+    # annotators, in both verify-failure modes), and the chain filters those
+    # out right after the consensus node — so drop them BEFORE the Arrow
+    # crossing: the consensus UDF's input (and its text payload) shrinks to
+    # the ~45% relation-bearing docs, value-identically (guide §4: pass the
+    # Python boundary only the rows the function can affect).
+    any_nonempty = None
+    for ann in annotators:
+        c = F.size(F.col(f"{ann}_ternary")) > 0
+        any_nonempty = c if any_nonempty is None else (any_nonempty | c)
     cons = fused_consensus_stage(
-        remapped,
+        remapped.where(any_nonempty),
         scorer=scorer,
         annotators=annotators,
         strict_verify_failure=strict_verify_failure,

@@ -92,7 +92,11 @@ class StageCatalog:
         n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
         schema_json = df.schema.jsonValue()  # logical schema, sans _bucket
         snapshot_id = uuid.uuid4().hex[:16]
-        data_dir = os.path.join(self._path(name), f"snap-{snapshot_id}")
+        # snapshots live in a SIBLING dir that is never itself a parquet read
+        # root (r5 advice): nesting snap-<id> under the flat legacy path
+        # (which append_partial/finalize_stage use as a data_dir) would make
+        # a flat-snapshot read recursively list newer snapshots' files
+        data_dir = os.path.join(self._path(f"{name}__snaps"), f"snap-{snapshot_id}")
         if bucket_col and bucket_col in df.columns:
             df = df.withColumn(
                 "_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))

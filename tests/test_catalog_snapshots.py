@@ -74,3 +74,16 @@ def test_lineage_records_parent_snapshots(spark, cat):
     )
     tree = cat.lineage("clean")
     assert tree["inputs"][0]["snapshot_id"] == s1
+
+
+def test_flat_finalized_stage_isolated_from_new_snapshots(spark, cat):
+    """r5 advice (medium): a stage finalized FLAT (append_partial +
+    finalize_stage → data_dir = the flat root) must stay readable as-of its
+    flat snapshot even after later write_stage commits — snapshots live in
+    a sibling <name>__snaps dir, so they can never nest inside (and leak
+    into) the flat snapshot's recursive parquet listing."""
+    cat.append_partial(_rows(spark, range(3)), "s")
+    flat_sid = cat.finalize_stage("s")
+    cat.write_stage(_rows(spark, range(10)), "s")  # newer, bigger snapshot
+    assert cat.read_stage(spark, "s").count() == 10  # current = newest
+    assert cat.read_stage(spark, "s", as_of=flat_sid).count() == 3  # no leak

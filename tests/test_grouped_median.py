@@ -64,6 +64,35 @@ def test_integer_like_and_negative_ranges(spark):
     _check(spark, rows, buckets=4, take_threshold=10)
 
 
+def test_float_bucket_boundaries(spark):
+    """r5-advice nit: values sitting EXACTLY on (and 1 ulp around) float
+    bucket boundaries must not be double-counted between the narrowing
+    rounds' count-below bookkeeping and the range membership. The r6 scheme
+    (whole-group clamped classification + min/max refinement) is immune by
+    construction; this pins it."""
+    import math
+
+    lo, hi, buckets = 0.1, 0.7, 8
+    width = (hi - lo) / buckets
+    edges = [lo + b * width for b in range(buckets + 1)]
+    rows = []
+    k = 0
+    for e in edges:
+        for v in (math.nextafter(e, -math.inf), e, math.nextafter(e, math.inf)):
+            rows.append((k, v))
+            rows.append((k, v))  # duplicated so ties straddle edges too
+    # pad so the group exceeds the threshold and rounds actually run
+    rows += [(k, lo + (i / 97.0) * (hi - lo)) for i in range(97)]
+    _check(spark, rows, buckets=buckets, take_threshold=8)
+
+
+def test_massive_tie_resolves_without_collect(spark):
+    """A group that is one giant tie (plus noise) must resolve via the
+    lo == hi literal path the moment the chosen bucket's min == max."""
+    rows = [(1, 7.25)] * 5000 + [(1, 1.0), (1, 99.0)] + [(2, float(i)) for i in range(300)]
+    _check(spark, rows, buckets=4, take_threshold=8)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_fuzz(spark, seed):
     rng = random.Random(seed)

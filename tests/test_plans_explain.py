@@ -304,10 +304,15 @@ def test_url_canonicalize_map_only(spark):
 
 def test_priority_sample_is_takeordered(spark):
     """The weighted-sample top-k must be a TakeOrderedAndProject
-    (per-partition heaps + one k-row merge), never a global Sort."""
+    (per-partition heaps + one k-row merge), never a global Sort — and
+    since r6 the corpus is scanned ONCE: the ≤(k+1)-row top frame is
+    localCheckpointed during construction, so the returned plan re-orders
+    only that bounded frame and contains NO parquet scan at all (the r5
+    shape re-ran the TakeOrdered over the corpus a second time)."""
     plan = _plan(entry_mod.q_weighted_sample(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    assert "Scan parquet" not in plan, plan  # one corpus scan, already done
 
 
 def test_image_resize_single_arrow_stage(spark):

@@ -56,6 +56,23 @@ def test_degenerate_small_input(spark, docs):
     assert all(r["est_w"] == r["w"] for r in got)
 
 
+def test_char_weight_non_ascii(spark):
+    """r5 verdict nit: the weighted_sample query must weigh by CHARACTERS
+    (F.length), matching the oracle's strlen, on non-ASCII text too — a
+    byte-length weight (octet_length) would diverge on any Chinese doc."""
+    rows = [(i, "中文字" * (i + 1) + "x") for i in range(30)]  # 3·(i+1)+1 chars
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 8
+    got = priority_sample(df, F.length("text"), key="doc_id", k=k, seed="31").collect()
+    weights = {i: float(len(t)) for i, t in rows}  # Python len == characters
+    order = sorted(weights, key=lambda i: (_thr(i, weights[i]), i))
+    tau = 1.0 / _thr(order[k], weights[order[k]])
+    assert sorted(r["doc_id"] for r in got) == sorted(order[:k])
+    for r in got:
+        assert r["w"] == weights[r["doc_id"]]  # chars, not bytes (3× here)
+        assert r["est_w"] == max(r["w"], tau)
+
+
 def test_null_and_nonpositive_excluded(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (None, 7.0), (3, 0.0), (4, -2.0), (5, 1.0)],

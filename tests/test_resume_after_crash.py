@@ -29,8 +29,10 @@ def test_resume_recomputes_only_missing_stage(spark, tmp_path):
     expected = sorted(map(tuple, full["triples"].collect()))
     annotated_snapshot = cat.manifest("annotated")["snapshot_id"]
 
-    # simulate a crash that lost the expansion stage (and everything after)
-    shutil.rmtree(f"{root}/expanded")
+    # simulate a crash that lost the expansion stage (and everything after);
+    # the data dir comes from the manifest (r6: snapshots live under
+    # <name>__snaps/snap-<id>, a sibling of the flat legacy path)
+    shutil.rmtree(cat.manifest("expanded")["data_dir"])
     (tmp_path / "stages" / "expanded.manifest.json").unlink()
 
     resumed = run_pipeline(spark, docs, catalog=cat, resume=True, with_metrics=False)
