@@ -30,6 +30,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """sqrt(dot(a, a)) — hoist this to a COLUMN on each side of a pairwise
+    join and use :func:`cosine_with_norms`: per-pair work drops to one dot
+    fold (the r5 shape re-folded both self-dots per candidate pair — 2/3 of
+    the verify arithmetic). Bit-identical: sqrt(x)*sqrt(y) is unchanged,
+    merely evaluated once per row instead of once per pair."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return dot(a, b) / (na * nb)
+
+
 def _query_literal(query_vec: list[float]) -> Column:
     # one SQL-text literal (single py4j call, JVM parse) — building dim
     # individual F.lit Columns costs ~dim×2 py4j round-trips of pure driver
@@ -216,12 +229,25 @@ def banded_near_dup_pairs(
     base = banded_base(emb, n_planes, bands, seed, max_id, id_col, vec_col, dim)
     cand = banded_candidates(base, bands)
 
-    vecs = base.select("id", "e")
+    # norms hoisted to per-row columns BEFORE the verify joins (r6): the
+    # join boundary materializes them once per vector, so each candidate
+    # pair folds one dot product instead of three — bit-identical cosines
+    vecs = base.select("id", "e", norm(F.col("e")).alias("nv"))
     joined = (
-        cand.join(vecs.withColumnRenamed("id", "a_id").withColumnRenamed("e", "ea"), "a_id")
-        .join(vecs.withColumnRenamed("id", "b_id").withColumnRenamed("e", "eb"), "b_id")
+        cand.join(
+            vecs.select(
+                F.col("id").alias("a_id"), F.col("e").alias("ea"), F.col("nv").alias("na")
+            ),
+            "a_id",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("b_id"), F.col("e").alias("eb"), F.col("nv").alias("nb")
+            ),
+            "b_id",
+        )
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         joined.withColumn("_cos", F.round(cos, 6))
         .where(F.col("_cos") >= threshold)
@@ -537,16 +563,27 @@ def semdedup(
     # join — recomputing the argmax fold from the parquet scan is cheaper.
     fitted = kmeans_fit(emb, k, iters, id_col, vec_col, dim, census=False)
     cents = [(cid, cv) for cid, cv, _ in fitted]
+    # per-row norms hoisted ahead of the cluster self-join (r6): the Σ|c|²
+    # pairwise verify folds ONE dot per pair instead of three — the
+    # dominant semdedup arithmetic — with bit-identical cosines
     assigned = ivf_assign(emb, cents, id_col, vec_col).select(
-        F.col(id_col).alias("vid"), "cluster", _to_double(F.col(vec_col)).alias("e")
-    )
+        F.col(id_col).alias("vid"),
+        "cluster",
+        _to_double(F.col(vec_col)).alias("e"),
+    ).withColumn("nv", norm(F.col("e")))
     lower = assigned.select(
-        F.col("vid").alias("bvid"), "cluster", F.col("e").alias("be")
+        F.col("vid").alias("bvid"), "cluster", F.col("e").alias("be"),
+        F.col("nv").alias("nb"),
     )
     max_prior = (
         assigned.join(lower, on="cluster")
         .where(F.col("bvid") < F.col("vid"))
-        .select("vid", F.round(cosine(F.col("e"), F.col("be")), 6).alias("c"))
+        .select(
+            "vid",
+            F.round(
+                cosine_with_norms(F.col("e"), F.col("be"), F.col("nv"), F.col("nb")), 6
+            ).alias("c"),
+        )
         .groupBy("vid")
         .agg(F.max("c").alias("mc"))
     )
