@@ -606,57 +606,67 @@ def paragraph_dedup(
     never deduped (blank lines / headings survive per-doc).
     → ``(doc_id, text, n_kept, n_dropped)``.
 
-    Scale shape: the dedup key is ``md5(normalized paragraph)`` so the
-    first-occurrence groupBy shuffles narrow fixed-width keys, never
-    paragraph bodies (CCNet used SHA-1 for the same reason; md5 here keeps
-    the DuckDB oracle exact). First-occurrence = one partial-aggregatable
+    Scale shape (r6): paragraph BODIES never shuffle. The exploded frame is
+    projected to ``(doc_id, idx, md5(norm), is_long)`` right after hashing
+    (CCNet used SHA-1 for the same reason; md5 here keeps the DuckDB oracle
+    exact), first-occurrence is one partial-aggregatable
     ``min(struct(doc_id, idx))`` — map-side combine, NO window over the
     paragraph key (a hot boilerplate paragraph would serialize a window's
-    sort), then a semi-join back and one per-doc rebuild aggregate: three
-    shuffles total, all on uniform keys.
+    sort) — and the winners regroup into a per-doc kept-index LIST (ints,
+    bounded by paragraphs-per-doc). That narrow list joins back to the
+    ORIGINAL one-row-per-doc table and the rebuild is a map-only array
+    filter by index: split → keep where short or idx ∈ keep_idx →
+    concat_ws, with ``n_orig``/``n_kept`` riding the same projection. The
+    r5 shape shuffled paragraph bodies twice (semi-join by key + rebuild
+    groupBy); now the only body movement is the doc-side hash join input,
+    and the three shuffles all carry fixed-width keys/ints. ``docs`` is
+    managed-persisted (two consumers: the hashing explode and the rebuild
+    join; Spark reuses exchanges, not scans).
+
+    A doc with NULL ``text`` is absent from the output (unchanged: the
+    explode dropped it in the r5 shape too).
     """
-    paras = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("idx", "para"),
+    docs = _persist_scan(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     norm = F.lower(F.trim(F.col("para")))
-    keyed = paras.select(
-        "doc_id", "idx", "para",
+    keyed = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), sep, -1)).alias("idx", "para"),
+    ).select(
+        "doc_id", "idx",
         F.md5(norm).alias("k"),
         (F.length(norm) >= min_chars).alias("is_long"),
     )
-    keyed = _persist_scan(keyed)
     firsts = (
         keyed.where("is_long")
         .groupBy("k")
         .agg(F.min(F.struct("doc_id", "idx")).alias("f"))
     )
-    kept = (
-        keyed.join(firsts, "k", "left")
-        .where(
-            (~F.col("is_long"))
-            | ((F.col("f.doc_id") == F.col("doc_id")) & (F.col("f.idx") == F.col("idx")))
-        )
-        .select("doc_id", "idx", "para")
+    keep = firsts.groupBy(F.col("f.doc_id").alias("doc_id")).agg(
+        F.collect_set(F.col("f.idx")).alias("keep_idx")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "para"))),
-                lambda s: s["para"],
-            ),
-        ).alias("text"),
-        F.count("*").alias("n_kept"),
+    # Map-only rebuild: a para survives iff it is short (never deduped) or
+    # its position won the corpus-wide min(struct). A short para's idx can
+    # never appear in keep_idx (that position holds a long para), and
+    # array_contains(NULL, i) — a doc with no winning long paras — must
+    # read as "drop", hence the explicit coalesce(…, false).
+    paras = F.split(F.col("text"), sep, -1)
+    kept = F.filter(
+        F.transform(paras, lambda p, i: F.struct(i.alias("idx"), p.alias("para"))),
+        lambda s: (F.length(F.lower(F.trim(s["para"]))) < min_chars)
+        | F.coalesce(F.array_contains(F.col("keep_idx"), s["idx"]), F.lit(False)),
     )
-    n_orig = keyed.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
     return (
-        n_orig.join(rebuilt, "doc_id", "left")
+        docs.join(keep, "doc_id", "left")
+        .withColumn("_kept", kept)
         .select(
             "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_orig") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.concat_ws(sep, F.transform("_kept", lambda s: s["para"])).alias("text"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size(paras) - F.size("_kept")).cast("long").alias("n_dropped"),
         )
     )
 

@@ -203,8 +203,59 @@ def old_prefix(spark, sf_dir):
     return dd._jaccard_select(counts, threshold)
 
 
+def old_paragraph(spark, sf_dir):
+    import research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup as dd
+
+    docs = entry_mod._paragraph_docs(spark, sf_dir)
+    paras = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias("idx", "para"),
+    )
+    norm = F.lower(F.trim(F.col("para")))
+    keyed = paras.select(
+        "doc_id", "idx", "para",
+        F.md5(norm).alias("k"),
+        (F.length(norm) >= 10).alias("is_long"),
+    )
+    keyed = dd._persist_scan(keyed)
+    firsts = (
+        keyed.where("is_long")
+        .groupBy("k")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("f"))
+    )
+    kept = (
+        keyed.join(firsts, "k", "left")
+        .where(
+            (~F.col("is_long"))
+            | ((F.col("f.doc_id") == F.col("doc_id")) & (F.col("f.idx") == F.col("idx")))
+        )
+        .select("doc_id", "idx", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_orig = keyed.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    return (
+        n_orig.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_orig") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )
+
+
 CASES = {
     "hll_ngrams": (old_hll, "hll_ngrams"),
+    "paragraph_dedup": (old_paragraph, "paragraph_dedup"),
     "countmin_audit": (old_countmin, "countmin_audit"),
     "lm_perplexity": (old_lm, "lm_perplexity"),
     "semdedup": (old_semdedup, "semdedup"),

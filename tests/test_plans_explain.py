@@ -352,3 +352,42 @@ def test_grouped_median_state_broadcast_no_global_sort(spark):
     # the real operator ran to completion: one row per distinct group
     # (sf0.001 has fewer than 50 suppliers, so derive the expectation)
     assert out.count() == li.select("grp").distinct().count()
+
+
+def test_paragraph_dedup_bodies_never_shuffle(spark):
+    """r6 restructure: paragraph BODIES never cross an Exchange — the
+    first-occurrence pass shuffles (doc_id, idx, md5) only, winners regroup
+    as a per-doc int list, and the rebuild is a map-only array filter on the
+    original docs table (no collect_list(struct(idx, para)) aggregate)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.col("text"))
+    )
+    plan = _plan(paragraph_dedup(docs, id_col="doc_id", text_col="text"))
+    # every Exchange input is free of the exploded paragraph column
+    node_ids = re.findall(r"\((\d+)\) Exchange", plan)
+    assert node_ids, "expected at least one Exchange"
+    for nid in node_ids:
+        m = re.search(
+            rf"^\({nid}\) Exchange\n(?:.*\n)*?Input \[\d+\]: \[(.*?)\]$",
+            plan,
+            re.M,
+        )
+        assert m is not None, f"no Input line for Exchange ({nid})"
+        cols = m.group(1)
+        assert not re.search(r"\bpara#", cols), (
+            f"paragraph bodies shuffle through Exchange ({nid}): {cols}"
+        )
+    # winners travel as ints (collect_set), not paragraph structs
+    assert "collect_set" in plan
+    assert "collect_list" not in plan
+    # rebuild is the index-membership array filter
+    assert "array_contains" in plan
