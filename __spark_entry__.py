@@ -35,6 +35,9 @@ from research_on_document_level_person_relation_extraction_in_chinese_spark.oper
 from research_on_document_level_person_relation_extraction_in_chinese_spark.operators import (
     textstats as T,
 )
+from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.spread import (
+    spread_scan as _spread,
+)
 from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.multimodal import (
     attach_media,
     extract_features,
@@ -544,7 +547,7 @@ def q_c4_line_filter(spark, sf_dir):
     )
 
     return c4_line_filter(
-        _lined_docs(spark, sf_dir), min_words=4, min_lines=6
+        _spread(_lined_docs(spark, sf_dir)), min_words=4, min_lines=6
     )
 
 
@@ -819,7 +822,7 @@ def q_ivf_topk(spark, sf_dir):
     literal, per-row argmax-cosine assignment as a shuffle-free JVM fold
     (cluster column = the partition-pruning key at scale), probe only the 4
     nearest clusters (operators/simsearch.py:ivf_topk)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
 
 
@@ -910,7 +913,7 @@ def q_width_normalize(spark, sf_dir):
         normalize_width,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     deco = F.concat(
         F.col("text"),
         F.lit("　ＦＷ："),
@@ -951,7 +954,7 @@ def q_lm_perplexity(spark, sf_dir):
         lm_perplexity,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return lm_perplexity(d, d.where(F.col("doc_id") % 41 == 0))
 
 
@@ -978,7 +981,7 @@ def q_kmeans_centroids(spark, sf_dir):
     centroid. Long-format output (cid, dim_idx, c_val, n_points); the oracle
     replays the identical recurrence with 4 unrolled MATERIALIZED CTE levels
     (_kmeans_sql)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return S.kmeans_centroid_table(emb, k=8, iters=4)
 
 
@@ -989,7 +992,7 @@ def q_semdedup(spark, sf_dir):
     lower-id cluster-mate exceeds 0.35 (the paper's upper-triangular rule).
     The only join is cluster-keyed, so pairwise work is Σ|cluster|², never
     N² — the scale contract is k ∝ N keeping cluster size constant."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return S.semdedup(emb, threshold=0.35, k=8, iters=2)
 
 

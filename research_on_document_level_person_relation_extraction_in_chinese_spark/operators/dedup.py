@@ -146,6 +146,9 @@ def minhash_lsh_pairs(
     if bands is None:
         bands, _ = lsh_params(threshold, k)
     rows_per_band = k // bands
+    # NOTE: callers own input fan-out (the entry fixtures pre-repartition
+    # their single-row-group scans); an unconditional spread_scan here was
+    # measured a no-op + planning overhead for every bench caller.
     base = docs.select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), k))

@@ -78,7 +78,11 @@ def dsir_scores(
     log((tgt_b+1)/(tgt_total+B)) − log((raw_b+1)/(raw_total+B)), rounded to
     6 dp; kept = 1 iff the rounded score > 0."""
     from .persistpool import persist_scan
+    from .spread import spread_scan
 
+    # the feature pass below is ~200 md5 calls per doc; spread a
+    # single-row-group scan so it parallelizes (operators/spread.py)
+    docs = spread_scan(docs)
     fb = docs.select(
         F.col(id_col),
         feature_buckets(F.col(text_col), n_buckets).alias("fb"),

@@ -60,7 +60,11 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
     from .persistpool import persist_scan
+    from .spread import spread_scan
 
+    # tokenization is the CPU term; spread a single-row-group scan so the
+    # persisted (dl, tf_i) frame builds in parallel (operators/spread.py)
+    docs = spread_scan(docs)
     ws = _words(F.col(text_col))
     # ONE tokenization pass (r6): the per-doc (dl, tf_i) frame is computed
     # once and managed-persisted; the stats aggregate AND the scoring

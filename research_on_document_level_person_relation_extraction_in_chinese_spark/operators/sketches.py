@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .dedup import shingle_hash
 from .dsir import WORD_SPLIT
+from .spread import spread_scan as _spread_scan
 
 
 def _tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -214,8 +215,12 @@ def hll_distinct_audit(
 
     m = 1 << p
     w_bits = _HLL_HASH_BITS - p
+    # n-gram array build + explode is the CPU term; a single-row-group scan
+    # would run it on one task (measured 35 s at a 4× synthetic scale vs
+    # ~1 s spread — operators/spread.py)
     grams = (
-        docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        _spread_scan(docs)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
     h = _hash60(F.col("gram"))

@@ -271,10 +271,17 @@ def test_countmin_sketch_partial_aggregation(spark):
 
 def test_lm_perplexity_scoring_shuffle_free(spark):
     """lm_perplexity: after the bounded model fit (driver literals), the
-    scoring query itself is a pure projection — no exchange, no join, no
-    Python."""
+    scoring query itself is a pure projection — no join, no Python, and no
+    DATA-DEPENDENT exchange. The only allowed Exchange is the adaptive
+    round-robin scan spread (operators/spread.py — a single-row-group input
+    file otherwise serializes the scoring fold on one task; at production
+    scale the spread is a no-op and the node disappears)."""
+    import re
+
     plan = _plan(entry_mod.q_lm_perplexity(spark, SF_DIR))
-    assert "Exchange" not in plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert n_exchange == n_roundrobin <= 1  # spread only, no hash/range shuffle
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
