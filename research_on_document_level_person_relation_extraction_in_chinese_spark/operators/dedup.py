@@ -74,15 +74,30 @@ def _permute(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD
 
 
-def minhash_signature(shingles: Column, k: int = 8) -> Column:
-    """array of k minhash values (NULL-free; empty shingle set → P as the
-    'infinite' sentinel so signatures stay comparable)."""
-    hashes = F.transform(shingles, shingle_hash)
+def minhash_signature_from_hashes(hashes: Column, k: int = 8) -> Column:
+    """array of k minhash values over a PRE-HOISTED shingle-hash array
+    (NULL-free; empty shingle set → P as the 'infinite' sentinel so
+    signatures stay comparable).
+
+    Callers building a DataFrame column should materialize
+    ``transform(sh, shingle_hash)`` as its OWN projected column and pass it
+    here: Catalyst does not common-subexpression-eliminate a HOF transform
+    repeated across the k permutation transforms, so the embedded form
+    re-runs the md5 pass once PER PERMUTATION (measured on the sf0.1
+    signature scan: k=8 embedded 0.92 s vs k=1 0.37 s vs hoisted k=8
+    0.50 s; signatures bit-identical)."""
     mins = [
         F.coalesce(F.array_min(F.transform(hashes, _permute(a, b))), F.lit(HASH_MOD))
         for a, b in MINHASH_SALTS[:k]
     ]
     return F.array(*mins)
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """Embedded-form signature (hash transform inlined k times) — kept as
+    the simple Column API for tests/small inputs; hot paths hoist the hash
+    array first (see ``minhash_signature_from_hashes``)."""
+    return minhash_signature_from_hashes(F.transform(shingles, shingle_hash), k)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -149,9 +164,18 @@ def minhash_lsh_pairs(
     # NOTE: callers own input fan-out (the entry fixtures pre-repartition
     # their single-row-group scans); an unconditional spread_scan here was
     # measured a no-op + planning overhead for every bench caller.
-    base = docs.select(
-        F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    # the shingle-hash array is hoisted to its own projection so the md5
+    # pass runs ONCE, not once per permutation (CollapseProject keeps the
+    # split because _hv is consumed k times and is not cheap; see
+    # minhash_signature_from_hashes)
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("sh")
+        )
+        .withColumn("_hv", F.transform(F.col("sh"), shingle_hash))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("_hv"), k))
+        .drop("_hv")
+    )
     if cache_signatures:
         base = _persist_scan(base)
 

@@ -159,3 +159,28 @@ def test_minhash_verify_strategies_agree(spark, zipf_docs):
     dense = sorted(map(tuple, minhash_lsh_pairs(zipf_docs, verify="dense", **kw).collect()))
     inv = sorted(map(tuple, minhash_lsh_pairs(zipf_docs, verify="inverted", **kw).collect()))
     assert dense == inv and len(dense) >= 3
+
+
+def test_minhash_hoisted_hashes_bit_identical(spark, zipf_docs):
+    """The hot path hoists transform(sh, shingle_hash) to its own projection
+    (md5 once, not once per permutation); signatures must be bit-identical
+    to the embedded-form Column API."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        char_shingles,
+        minhash_signature,
+        minhash_signature_from_hashes,
+        shingle_hash,
+    )
+
+    base = zipf_docs.select(
+        "doc_id", char_shingles(F.col("text"), 3).alias("sh")
+    )
+    embedded = base.withColumn("sig", minhash_signature(F.col("sh"), 8))
+    hoisted = (
+        base.withColumn("_hv", F.transform(F.col("sh"), shingle_hash))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("_hv"), 8))
+        .drop("_hv")
+    )
+    a = {r["doc_id"]: r["sig"] for r in embedded.select("doc_id", "sig").collect()}
+    b = {r["doc_id"]: r["sig"] for r in hoisted.select("doc_id", "sig").collect()}
+    assert a == b and len(a) > 0
