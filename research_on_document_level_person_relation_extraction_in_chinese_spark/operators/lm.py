@@ -34,9 +34,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def char_bigrams(text: Column) -> Column:
-    """array<struct<a,b>> of adjacent char pairs, in text order."""
-    cs = F.split(text, "")
+def char_bigrams_from_chars(cs: Column) -> Column:
+    """array<struct<a,b>> of adjacent char pairs, in text order, over a
+    PRE-HOISTED char array (``split(text, '')``). Hot paths hoist the char
+    split to its own projected column: Catalyst re-aliases lambda variables
+    per occurrence (no CSE across copies), so an embedded split re-runs the
+    full-text char split once per reference — ~4x inside this expression
+    alone, ~8x when the caller also sizes the bigram array."""
     n = F.size(cs)
     return F.when(
         n >= 2,
@@ -48,15 +52,23 @@ def char_bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
+def char_bigrams(text: Column) -> Column:
+    """Embedded-form char bigrams (char split inlined per reference) — the
+    simple Column API; hot paths hoist via ``char_bigrams_from_chars``."""
+    return char_bigrams_from_chars(F.split(text, ""))
+
+
 def train_char_bigram_lm(
     reference: DataFrame, text_col: str = "text", max_model_size: int = 200_000
 ) -> tuple[dict[str, float], dict[str, float], float]:
     """Fit the smoothed LM on ``reference`` → (ln-prob per seen bigram,
     ln(c(a)+V) per seen context, ln(V) fallback).  One bounded groupBy +
     collect; raises if the model outgrows the literal-shipping guard."""
-    pairs = reference.select(
-        F.explode(char_bigrams(F.col(text_col))).alias("bg")
-    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    pairs = (
+        reference.select(F.split(F.col(text_col), "").alias("_cs"))
+        .select(F.explode(char_bigrams_from_chars(F.col("_cs"))).alias("bg"))
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
     counts = pairs.groupBy("a", "b").agg(F.count("*").alias("c")).collect()
     if len(counts) > max_model_size:
         raise ValueError(
@@ -171,9 +183,22 @@ def lm_perplexity(
                 F.element_at(pmap, F.concat(bg["a"], bg["b"])), fallback
             )
 
-    bgs = char_bigrams(F.col(text_col))
+    # char array AND bigram array hoisted to their own projections: the
+    # embedded form re-split the full text per reference (size + aggregate
+    # + 4 internal refs — see char_bigrams_from_chars); values identical
+    bgs = F.col("_bg")
     return (
         docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.split(F.col(text_col), "").alias("_cs"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            char_bigrams_from_chars(F.col("_cs")).alias("_bg"),
+        )
+        .select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
             F.size(bgs).cast("long").alias("n_bigrams"),

@@ -98,18 +98,21 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     bounded doc length, partition-local, exactly the map-only shape a 100-TB
     quality-filter pass needs. DuckDB oracle mirrors each fold with list
     lambdas (list_distinct/list_filter/list_transform).
+
+    The word and bigram arrays are hoisted to their OWN projected columns:
+    Catalyst re-aliases lambda variables per occurrence (no CSE across HOF
+    copies), so the embedded form re-ran the split once per consumer and —
+    worse — rebuilt the whole bigram array inside the per-distinct-bigram
+    count lambda (O(u·n) array BUILDS, not just compares). Identical
+    output values; the folds read attributes now.
     """
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    words = F.col("_w")
     empty = F.length(F.trim(F.col(text_col))) == 0
     n = F.when(empty, 0).otherwise(F.size(words))
     dup_frac = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(words)).cast("double") / n
     ).otherwise(0.0)
-    bigrams = F.zip_with(
-        F.slice(words, F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.slice(words, F.lit(2), F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    bigrams = F.col("_bg")
     n_bg = F.size(bigrams)
     top_count = F.aggregate(
         F.array_distinct(bigrams),
@@ -121,12 +124,24 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(0.0)
-    return df.select(
-        "*",
-        n.alias("r_n_words"),
-        F.round(dup_frac, 6).alias("r_dup_word_frac"),
-        F.round(top_frac, 6).alias("r_top_bigram_frac"),
-        F.round(mean_len, 6).alias("r_mean_word_len"),
+    return (
+        df.withColumn("_w", F.split(F.trim(F.col(text_col)), "\\s+"))
+        .withColumn(
+            "_bg",
+            F.zip_with(
+                F.slice(words, F.lit(1), F.greatest(n - 1, F.lit(0))),
+                F.slice(words, F.lit(2), F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .select(
+            "*",
+            n.alias("r_n_words"),
+            F.round(dup_frac, 6).alias("r_dup_word_frac"),
+            F.round(top_frac, 6).alias("r_top_bigram_frac"),
+            F.round(mean_len, 6).alias("r_mean_word_len"),
+        )
+        .drop("_w", "_bg")
     )
 
 
