@@ -701,7 +701,9 @@ def paragraph_dedup(
     # never appear in keep_idx (that position holds a long para), and
     # array_contains(NULL, i) — a doc with no winning long paras — must
     # read as "drop", hence the explicit coalesce(…, false).
-    paras = F.split(F.col("text"), sep, -1)
+    # paragraph array hoisted (split once — the embedded form split again
+    # for the n_dropped size; no CSE across copies)
+    paras = F.col("_paras")
     kept = F.filter(
         F.transform(paras, lambda p, i: F.struct(i.alias("idx"), p.alias("para"))),
         lambda s: (F.length(F.lower(F.trim(s["para"]))) < min_chars)
@@ -709,6 +711,7 @@ def paragraph_dedup(
     )
     return (
         docs.join(keep, "doc_id", "left")
+        .withColumn("_paras", F.split(F.col("text"), sep, -1))
         .withColumn("_kept", kept)
         .select(
             "doc_id",

@@ -195,19 +195,25 @@ def c4_line_filter(
     single space (C4 is whitespace-tokenized English; empty tokens from
     runs count equally in the DuckDB oracle, keeping the gate exact).
     """
-    lines = F.split(F.col(text_col), "\n", -1)
     keep_line = lambda x: (  # noqa: E731 — HOF lambdas need exact arity
         F.substring(F.trim(x), -1, 1).isin(C4_TERMINALS)
         & (F.size(F.split(F.trim(x), " ", -1)) >= min_words)
     )
-    kept = F.filter(lines, keep_line)
+    # line array AND surviving-line array hoisted to their own projections
+    # (no CSE across HOF copies — see repetition_features): the embedded
+    # form ran the per-line filter twice (rebuild + count) and the line
+    # split three times per doc. Identical output values.
+    lines = F.col("_lines")
+    kept = F.col("_kept")
     # page-level rejections must test the ORIGINAL text (a '{' on a dropped
     # line still kills the page), so they are computed before the rebuild
     bad_page = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
         text_col
     ).contains("{")
     return (
-        df.select(
+        df.withColumn("_lines", F.split(F.col(text_col), "\n", -1))
+        .withColumn("_kept", F.filter(lines, keep_line))
+        .select(
             F.col(id_col).alias("doc_id"),
             F.concat_ws("\n", kept).alias("text"),
             F.size(kept).alias("n_lines_kept"),
