@@ -514,8 +514,13 @@ def _lined_docs(spark, sf_dir):
     documents are single-line word streams): 6-word lines, a deterministic
     2-of-3 of which end in '.', plus injected 'lorem ipsum' and '{' pages —
     every construct exact in DuckDB."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ", -1)
+    # word array hoisted to its own projection — the embedded split would
+    # re-run inside the per-line slice lambda (no CSE across HOF copies;
+    # same fix as word_ngrams_from_words)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.col("text"), " ", -1).alias("_w")
+    )
+    words = F.col("_w")
     n_lines = F.ceil(F.size(words) / F.lit(6)).cast("int")
     ls = F.transform(
         F.sequence(F.lit(0), n_lines - 1),

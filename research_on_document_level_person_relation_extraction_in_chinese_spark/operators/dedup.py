@@ -331,11 +331,29 @@ def _prefix_filtered_counts(sh: DataFrame, threshold: float) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("_rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1
-    ).select("blk", "id", "sh")
+    ).select("blk", "id", "sh", "_rk", "n_sh")
     pa, pb = prefix.alias("a"), prefix.alias("b")
+    # PPJoin POSITIONAL filter (lossless): a pair with Jaccard ≥ θ has
+    # overlap c ≥ θ/(1+θ)·(|A|+|B|), and every common shingle ranks ≥ the
+    # matched one in BOTH docs, so c ≤ 1 + min(|A|−rk_A, |B|−rk_B) at any
+    # match row. For the pair's globally-smallest common shingle (which the
+    # prefix lemma guarantees is in both prefixes) that upper bound holds
+    # with c itself, hence a qualifying pair ALWAYS passes here on that row
+    # and survives to the verify; rows pruned are provably below θ. The
+    # 1e-6 slack makes float rounding one-sided (can only keep extra junk,
+    # never drop a qualifying pair — counts are integers, so the true
+    # comparison margin is ≥ 1·(1+θ) ≫ slack + double error). Measured:
+    # most deep-prefix junk matches die before the array-payload verify.
+    ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a._rk"), F.col("b.n_sh") - F.col("b._rk")
+    )
     cand = (
         pa.join(pb, on=["blk", "sh"])
         .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            ub.cast("double") * (1.0 + threshold) + 1e-6
+            >= threshold * (F.col("a.n_sh") + F.col("b.n_sh"))
+        )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )

@@ -230,3 +230,24 @@ def test_word_ngrams_hoisted_words_identical(spark, zipf_docs):
     a = {r["doc_id"]: r["g"] for r in embedded.collect()}
     b = {r["doc_id"]: r["g"] for r in hoisted.collect()}
     assert a == b and len(a) > 2
+
+
+def test_prefix_positional_filter_keeps_boundary_pair(spark):
+    """PPJoin positional-filter losslessness at the EXACT boundary: two
+    9-shingle docs sharing 6 shingles (Jaccard = 6/12 = θ = 0.5) whose
+    3 unique shingles are rarer (df=1) than the shared ones (df=2), so the
+    first common shingle sits at rank 4 and the positional upper bound
+    1+min(9−4, 9−4) = 6 EQUALS the required overlap θ/(1+θ)·18 = 6 — the
+    pair must survive the filter and verify at jaccard 0.5."""
+    from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.dedup import (
+        _jaccard_select,
+        _prefix_filtered_counts,
+    )
+
+    common = [f"c{i}" for i in range(6)]
+    rows = [("b", 1, s) for s in common + ["ua1", "ua2", "ua3"]] + [
+        ("b", 2, s) for s in common + ["ub1", "ub2", "ub3"]
+    ]
+    sh = spark.createDataFrame(rows, "blk string, id int, sh string")
+    out = _jaccard_select(_prefix_filtered_counts(sh, 0.5), 0.5).collect()
+    assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in out] == [(1, 2, 0.5)]
