@@ -1517,8 +1517,11 @@ def q_grouped_median(spark, sf_dir):
     (operators/quantiles.py:grouped_exact_median): all 50 supplier groups
     narrow SIMULTANEOUSLY — the whole narrowing state is a DataFrame, one
     histogram scan per round advances every group, take_threshold=64 forces
-    the rounds to actually run at every test SF. Oracle: DuckDB row_number
-    middle-order-statistics per group (the exact_median contract)."""
+    the rounds to actually run at every test SF (still ≥1 round from
+    sf0.01 up). Oracle: DuckDB row_number middle-order-statistics per group
+    (the exact_median contract — value-identical for ANY bucket width;
+    r6 widened 64→256 buckets, which cuts one full narrowing round at
+    sf0.1 while the per-round histogram stays ≤ groups×ranks×256 rows)."""
     from research_on_document_level_person_relation_extraction_in_chinese_spark.operators.quantiles import (
         grouped_exact_median,
     )
@@ -1527,7 +1530,7 @@ def q_grouped_median(spark, sf_dir):
         (F.col("l_suppkey") % 50).alias("grp"), "l_extendedprice"
     )
     return grouped_exact_median(
-        li, "grp", "l_extendedprice", buckets=64, take_threshold=64
+        li, "grp", "l_extendedprice", buckets=256, take_threshold=64
     )
 
 
