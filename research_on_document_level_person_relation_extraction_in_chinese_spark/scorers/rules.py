@@ -102,11 +102,27 @@ TEMPLATES = [
 SELF_PAIR_FMT = "{A}與{A}互相勉勵。"
 SELF_PAIR_RAW = "勉勵"
 
+def _longest_literal(fmt: str) -> str:
+    """Longest fixed fragment of a template (the text between/around the
+    {A}/{B} slots). SOUND regex prefilter: every match of the compiled
+    template regex contains every literal fragment of ``fmt`` verbatim, so
+    ``literal not in text`` proves ``finditer`` would find nothing — a C
+    substring probe instead of a full regex scan (find_instances was the
+    single hottest scorer kernel: ~10 whole-text regex scans per doc, most
+    of which match nothing)."""
+    return max(re.split(r"\{[AB]\}", fmt), key=len)
+
+
 _COMPILED = [
-    (t, re.compile(t.fmt.format(A=f"({_NAME_ALT})", B=f"({_NAME_ALT})")))
+    (
+        t,
+        re.compile(t.fmt.format(A=f"({_NAME_ALT})", B=f"({_NAME_ALT})")),
+        _longest_literal(t.fmt),
+    )
     for t in TEMPLATES
 ]
 _SELF_RE = re.compile(SELF_PAIR_FMT.format(A=f"({_NAME_ALT})"))
+_SELF_LIT = _longest_literal(SELF_PAIR_FMT)
 
 
 # --- taxonomy keyword rules (deterministic M6 replacement) -------------------
@@ -139,18 +155,21 @@ def find_instances(
     """All template matches in ``text`` → list of (p1, p2, raw_rel, tid),
     in occurrence order (including self-pair distractor emissions)."""
     hits: list[tuple[int, str, str, str, str]] = []
-    for tmpl, rx in _COMPILED:
+    for tmpl, rx, lit in _COMPILED:
         if tmpl.tid in blind_tids:
             continue
         if tmpl.expansion_only and not include_expansion_only:
+            continue
+        if lit not in text:  # sound prefilter — see _longest_literal
             continue
         for m in rx.finditer(text):
             a, b = m.group(1), m.group(2)
             # {A} before {B} in fmt order ↔ group order; fine either way since
             # downstream canonicalization sorts the pair.
             hits.append((m.start(), a, b, tmpl.raw_rel, tmpl.tid))
-    for m in _SELF_RE.finditer(text):
-        hits.append((m.start(), m.group(1), m.group(1), SELF_PAIR_RAW, "self"))
+    if _SELF_LIT in text:
+        for m in _SELF_RE.finditer(text):
+            hits.append((m.start(), m.group(1), m.group(1), SELF_PAIR_RAW, "self"))
     hits.sort(key=lambda h: h[0])
     return [(a, b, r, tid) for _, a, b, r, tid in hits]
 
